@@ -1,0 +1,123 @@
+"""Configuration system.
+
+Re-designs the reference's params class (reference: breakmer.py
+``class params``, ~lines 120-250 — key=value config file merged with CLI
+options) as a single dataclass, JSON/key=value loadable. Knob names follow
+the reference where known; defaults marked "reconstructed" were recovered
+from training knowledge of BreaKmer's README/paper and are configurable so
+parity runs can pin them (SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- inputs -----------------------------------------------------------
+    analysis_name: str = "breakmer_tpu"
+    analysis_dir: str = "analysis"
+    targets_bed_file: Optional[str] = None
+    reference_fasta: Optional[str] = None
+    reference_data_dir: Optional[str] = None  # cache of packed refs + indexes
+    sample_bam_file: Optional[str] = None     # BAM or SAM or FASTQ sidecar
+    normal_bam_file: Optional[str] = None
+    repeat_mask_file: Optional[str] = None
+    other_regions_file: Optional[str] = None
+    gene_list: Optional[str] = None           # restrict to these targets
+
+    # --- k-mer engine (reference: utils.py run_jellyfish + target.compare_kmers)
+    kmer_size: int = 15            # reference default k=15
+    min_kmer_count: int = 2        # drop count-1 sample kmers (reconstructed)
+
+    # --- read extraction (reference: target.extract_bam_reads) ------------
+    min_clip_len: int = 3          # min soft-clip length to keep (reconstructed)
+    min_clip_qual: int = 3         # min avg base quality in the clip (reconstructed)
+    insert_size_thresh: int = 1000  # |tlen| beyond which a pair is discordant
+    region_buffer: int = 200       # bp added on each side of a target region
+
+    # --- assembly (reference: sv_assembly.py init_assembly) ---------------
+    min_contig_reads: int = 2      # min supporting reads to keep a contig
+    min_contig_len: int = 20       # contigs shorter than this are dropped
+
+    # --- realignment (replaces BLAT; align/ package) ----------------------
+    seed_kmer_size: int = 11       # BLAT DNA default tile size is 11
+    match_score: int = 2
+    mismatch_pen: int = 3          # subtracted
+    gap_open_pen: int = 5          # first gapped base costs open+extend
+    gap_extend_pen: int = 1
+    min_identity: float = 0.90     # min percent identity for a usable alignment
+    full_hit_cov: float = 0.95     # query coverage => "single alignment" path
+
+    # --- SV calling thresholds (reference: sv_caller.py filter stack) -----
+    indel_size: int = 15           # min indel size to report (reference default)
+    indel_sr_thresh: int = 5       # split-read support for indels (reconstructed)
+    rearr_sr_thresh: int = 2       # split-read support for rearrangements
+    trl_sr_thresh: int = 2         # split-read support for translocations
+    rearr_min_seg_len: int = 30    # min segment length for rearrangements
+    trl_min_seg_len: int = 25      # min segment length for translocations
+    min_disc_reads: int = 2        # discordant-pair support for translocations
+    max_repeat_frac: float = 0.75  # reject segment if rmask overlap above this
+    min_complexity: float = 0.25   # low-complexity contig filter threshold
+    keep_repeat_regions: bool = False
+    keep_intron_vars: bool = False
+
+    # --- device / parallel ------------------------------------------------
+    nprocs: int = 1                # reference -p; here: host-side worker hint
+    contig_pad_tiers: tuple = (128, 256, 512, 1024)  # bucketed pad lengths
+    window_pad_tiers: tuple = (256, 512, 1024, 2048)
+    batch_pad: int = 8             # pad (contig, window) batches to multiple
+
+    # --- misc -------------------------------------------------------------
+    log_level: str = "INFO"
+    keep_intermediates: bool = False
+
+    def get_param(self, key: str, default=None):
+        """Reference-parity accessor (breakmer.py params.get_param)."""
+        return getattr(self, key, default)
+
+    def set_param(self, key: str, value) -> None:
+        setattr(self, key, value)
+
+    @classmethod
+    def from_file(cls, path: str | Path, **overrides) -> "Config":
+        """Load from a JSON file or a reference-style ``key=value`` file."""
+        path = Path(path)
+        text = path.read_text()
+        data: dict = {}
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            for raw in text.splitlines():
+                line = raw.strip()
+                if not line or line.startswith("#"):
+                    continue
+                key, _, val = line.partition("=")
+                data[key.strip()] = val.strip()
+        data.update(overrides)
+        return cls.from_dict(data)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Config":
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for key, val in data.items():
+            if key not in fields:
+                continue  # tolerate unknown keys like the reference parser
+            ftype = fields[key].type
+            if isinstance(val, str):
+                if ftype == "int":
+                    val = int(val)
+                elif ftype == "float":
+                    val = float(val)
+                elif ftype == "bool":
+                    val = val.lower() in ("1", "true", "yes", "on")
+            kwargs[key] = val
+        return cls(**kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=list)

@@ -1,0 +1,44 @@
+"""FASTQ reading/writing.
+
+The reference round-trips SV-informative reads through fastq files between
+every stage (reference: utils.py get_fastq_reads / fq_read, sv_processor.py
+target.extract_bam_reads). Here fastq is an *ingest* format only — reads
+become a packed :class:`breakmer_tpu.encode.ReadBatch` immediately.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, List, Optional, Tuple
+
+from breakmer_tpu.encode import ReadBatch
+
+
+def read_fastq(path: str | Path) -> ReadBatch:
+    names: List[str] = []
+    seqs: List[str] = []
+    quals: List[List[int]] = []
+    with open(path) as fh:
+        while True:
+            header = fh.readline()
+            if not header:
+                break
+            seq = fh.readline().strip()
+            fh.readline()  # '+'
+            qual = fh.readline().strip()
+            names.append(header.strip()[1:].split()[0])
+            seqs.append(seq)
+            quals.append([ord(c) - 33 for c in qual])
+    return ReadBatch.from_seqs(seqs, names=names, quals=quals)
+
+
+def write_fastq(path: str | Path, batch: ReadBatch) -> None:
+    with open(path, "w") as fh:
+        for i in range(len(batch)):
+            length = int(batch.lengths[i])
+            seq = batch.seq(i)
+            if batch.quals is not None:
+                qual = "".join(chr(int(q) + 33) for q in batch.quals[i, :length])
+            else:
+                qual = "I" * length
+            fh.write(f"@{batch.names[i]}\n{seq}\n+\n{qual}\n")

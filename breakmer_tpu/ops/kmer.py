@@ -1,0 +1,218 @@
+"""K-mer extraction, counting, and set subtraction — the Jellyfish replacement.
+
+Reference behavior being re-implemented (SURVEY.md §2 #7): the reference
+shells out to ``jellyfish count/merge/dump`` on (a) cleaned sample reads,
+(b) the cached region reference fasta, (c) optional normal reads
+(reference: utils.py run_jellyfish), loads the text dumps into Python
+dicts, and computes ``sample_only = sample - reference - normal`` with dict
+ops (reference: sv_processor.py target.compare_kmers), dropping low-count
+k-mers.
+
+TPU-first design: no dicts, no files. A k-mer is a 2k-bit integer code
+(k<=15 fits uint32). Extraction is k static shift-or steps over a padded
+[R, L] base-code tensor; counting and subtraction are sort + segmented
+run-length + binary-search ops over flat code vectors — all static-shape,
+jit-compatible, with invalid slots carried as a sentinel code that sorts to
+the end. A Pallas sorted-hash membership kernel (kmer_pallas.py) replaces
+the searchsorted for the hot path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel for invalid/padded kmer slots: max uint32, sorts after any real
+# 2k-bit code (codes use at most 30 bits for k<=15).
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+MAX_K_U32 = 15
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmer_codes(codes: jax.Array, lengths: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Extract all k-mer codes from a padded read batch.
+
+    Args:
+      codes:   [R, L] int8 base codes (0..3 real, 4 = N/pad).
+      lengths: [R] int32 true read lengths.
+      k:       static k-mer size (<= 15 for uint32 codes).
+
+    Returns:
+      (kmers [R, L-k+1] uint32, valid [R, L-k+1] bool). A window is valid
+      iff it lies within the read and contains no N. Invalid slots hold
+      SENTINEL.
+    """
+    if k > MAX_K_U32:
+        raise ValueError(f"k={k} exceeds uint32 capacity (max {MAX_K_U32})")
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"read length {L} shorter than k={k}")
+    acc = jnp.zeros((R, W), dtype=jnp.uint32)
+    bad = jnp.zeros((R, W), dtype=bool)
+    for j in range(k):
+        window = codes[:, j : j + W]
+        bad = bad | (window >= 4)
+        acc = (acc << 2) | jnp.where(window >= 4, 0, window).astype(jnp.uint32)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    in_read = pos <= (lengths[:, None] - k)
+    valid = in_read & ~bad
+    return jnp.where(valid, acc, SENTINEL), valid
+
+
+@jax.jit
+def sort_kmers(kmers: jax.Array) -> jax.Array:
+    """Flatten and sort kmer codes; SENTINEL (invalid) slots sort last."""
+    return jnp.sort(kmers.reshape(-1))
+
+
+@jax.jit
+def unique_counts_sorted(sorted_kmers: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Run-length encode a sorted code vector (static shape).
+
+    Returns (values [N], counts [N], is_start [N]): at each run start,
+    ``values`` holds the k-mer and ``counts`` its multiplicity; elsewhere
+    values=SENTINEL, counts=0. This is the device-side analog of a
+    jellyfish dump (SURVEY.md §2 #7) without leaving HBM.
+    """
+    n = sorted_kmers.shape[0]
+    prev = jnp.concatenate([jnp.array([SENTINEL], dtype=sorted_kmers.dtype), sorted_kmers[:-1]])
+    is_start = (sorted_kmers != prev) & (sorted_kmers != SENTINEL)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # start position of the run each element belongs to
+    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+    # run end = next run's start (or first sentinel position)
+    valid = sorted_kmers != SENTINEL
+    total_valid = jnp.sum(valid.astype(jnp.int32))
+    # next start after each position: scan from the right
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_start, idx, n), reverse=True
+    )
+    nxt_after = jnp.concatenate([nxt[1:], jnp.array([n], dtype=nxt.dtype)])
+    run_end = jnp.minimum(jnp.where(nxt_after > idx, nxt_after, n), total_valid)
+    counts = jnp.where(is_start, run_end - idx, 0).astype(jnp.int32)
+    values = jnp.where(is_start, sorted_kmers, SENTINEL)
+    return values, counts, is_start
+
+
+@jax.jit
+def member_sorted(queries: jax.Array, table_sorted: jax.Array) -> jax.Array:
+    """For each query code, True iff present in the sorted table.
+
+    ``table_sorted`` may contain SENTINEL padding (sorts last). SENTINEL
+    queries return False. This is the set-membership half of the
+    sample - reference - normal subtraction.
+    """
+    pos = jnp.searchsorted(table_sorted, queries)
+    pos = jnp.clip(pos, 0, table_sorted.shape[0] - 1)
+    hit = table_sorted[pos] == queries
+    return hit & (queries != SENTINEL)
+
+
+@jax.jit
+def subtract_sorted(
+    sample_values: jax.Array,
+    sample_counts: jax.Array,
+    ref_sorted: jax.Array,
+    normal_sorted: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """sample_only = sample - reference [- normal], with counts preserved.
+
+    Mirrors the reference's dict subtraction in target.compare_kmers but as
+    vectorized binary searches over sorted tables. Returns (values, counts)
+    with removed entries set to (SENTINEL, 0).
+    """
+    drop = member_sorted(sample_values, ref_sorted)
+    if normal_sorted is not None:
+        drop = drop | member_sorted(sample_values, normal_sorted)
+    keep = (~drop) & (sample_values != SENTINEL)
+    return (
+        jnp.where(keep, sample_values, SENTINEL),
+        jnp.where(keep, sample_counts, 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side convenience wrappers (used by the per-region pipeline, which is
+# host-driven between device stages; and by tests as a second opinion).
+# ---------------------------------------------------------------------------
+
+def sample_only_kmers(
+    sample_codes: np.ndarray,
+    sample_lengths: np.ndarray,
+    ref_codes: np.ndarray,
+    k: int,
+    normal_codes: Optional[np.ndarray] = None,
+    normal_lengths: Optional[np.ndarray] = None,
+    min_count: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full pipeline: extract -> count -> subtract -> threshold.
+
+    Args mirror target.compare_kmers inputs: sample read batch, region
+    reference sequence (single row), optional normal read batch. Returns
+    (kmer_codes uint32 sorted desc by count then asc by code, counts),
+    host numpy arrays ready for the assembler.
+    """
+    s_km, _ = kmer_codes(jnp.asarray(sample_codes), jnp.asarray(sample_lengths), k)
+    s_sorted = sort_kmers(s_km)
+    values, counts, _ = unique_counts_sorted(s_sorted)
+
+    ref = np.asarray(ref_codes, dtype=np.int8).reshape(1, -1)
+    ref_len = jnp.asarray([ref.shape[1]], dtype=jnp.int32)
+    r_km, _ = kmer_codes(jnp.asarray(ref), ref_len, k)
+    # both strands: a sample read may come from either strand, and the
+    # reference subtraction must treat a k-mer and its reverse complement
+    # as reference-present (the reference tool counts canonical kmers via
+    # jellyfish; SURVEY.md §2 #7)
+    rc = _revcomp_codes_vec(np.asarray(r_km).reshape(-1), k)
+    ref_table = jnp.sort(jnp.concatenate([r_km.reshape(-1), jnp.asarray(rc)]))
+
+    normal_table = None
+    if normal_codes is not None:
+        n_km, _ = kmer_codes(jnp.asarray(normal_codes), jnp.asarray(normal_lengths), k)
+        normal_table = sort_kmers(n_km)
+
+    values, counts = subtract_sorted(values, counts, ref_table, normal_table)
+
+    v = np.asarray(values)
+    c = np.asarray(counts)
+    keep = (v != np.uint32(0xFFFFFFFF)) & (c >= min_count)
+    v, c = v[keep], c[keep]
+    # deterministic order: count desc, then code asc (parity tie-break rule;
+    # SURVEY.md §7 hard part 1)
+    order = np.lexsort((v, -c.astype(np.int64)))
+    return v[order], c[order]
+
+
+def _revcomp_codes_vec(codes_u32: np.ndarray, k: int) -> np.ndarray:
+    """Reverse-complement packed k-mer codes (vectorized, host)."""
+    codes = codes_u32.astype(np.uint64)
+    out = np.zeros_like(codes)
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (np.uint64(3) - (codes & np.uint64(3)))
+        codes >>= np.uint64(2)
+    sent = codes_u32 == np.uint32(0xFFFFFFFF)
+    out = out.astype(np.uint32)
+    out[sent] = np.uint32(0xFFFFFFFF)
+    return out
+
+
+def kmer_to_str(code: int, k: int) -> str:
+    """Decode a k-mer code back to its ACGT string (debug/report aid)."""
+    bases = "ACGT"
+    out = []
+    for shift in range(2 * (k - 1), -2, -2):
+        out.append(bases[(int(code) >> shift) & 3])
+    return "".join(out)
+
+
+def str_to_kmer(s: str) -> int:
+    code = 0
+    lut = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for ch in s.upper():
+        code = (code << 2) | lut[ch]
+    return code
