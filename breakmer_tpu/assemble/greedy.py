@@ -1,0 +1,253 @@
+"""Greedy k-mer-extension contig assembly — the parity engine.
+
+Reference behavior being re-implemented (SURVEY.md §2 #9, reference:
+sv_assembly.py init_assembly / kmer_tracker / contig / buffer classes):
+
+  * sample-only k-mers are processed in count-descending order;
+  * a contig is seeded from the reads containing the top unused k-mer;
+  * candidate reads are aligned to the contig by locating the shared
+    k-mer (string find) and offset-stacking;
+  * consensus is the per-position argmax of base counts;
+  * the contig maintains a live k-mer set over its consensus so extension
+    chains outward (reference: contig.refresh_kmers);
+  * a buffer marks used reads/k-mers so each read seeds at most one contig;
+  * contigs with fewer than ``min_contig_reads`` supporting reads are
+    dropped.
+
+Deterministic tie-break rules (pinned explicitly because the reference is
+not runnable to diff against — SURVEY.md §7 hard part 1):
+  * k-mer order: count desc, then code ascending;
+  * read order within a k-mer: batch (input) order, then position asc;
+  * consensus ties: base with the smaller code (A < C < G < T);
+  * newly discovered k-mers are enqueued in consensus scan order
+    (left to right).
+
+This is intentionally a host-side implementation: assembly is inherently
+sequential and data-dependent (SURVEY.md §7 hard part 2); the device does
+the heavy lifting before (k-mer subtraction) and after (realignment). The
+read-vs-contig inner matching uses the precomputed k-mer -> (read, pos)
+posting lists from the device k-mer pass rather than rescanning reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from breakmer_tpu.encode import ReadBatch, decode_seq
+from breakmer_tpu.ops import kmer as kmer_ops
+
+
+@dataclasses.dataclass
+class ContigRead:
+    """A read placed in a contig; ``offset`` is the contig coordinate of
+    the read's first base (may have been clipped if negative during
+    growth — offsets are re-based to 0 at finalize)."""
+
+    name: str
+    index: int        # row in the source ReadBatch
+    offset: int
+    length: int
+
+
+@dataclasses.dataclass
+class Contig:
+    id: str
+    seq: str
+    reads: List[ContigRead]
+    kmers: List[int]  # sample-only k-mer codes contained in the consensus
+
+    @property
+    def nreads(self) -> int:
+        return len(self.reads)
+
+
+class _Growing:
+    """Mutable contig under construction: a base-count matrix over an
+    integer coordinate axis that may extend in both directions."""
+
+    __slots__ = ("counts", "origin")
+
+    def __init__(self):
+        self.counts: Dict[int, np.ndarray] = {}
+        self.origin = 0  # smallest coordinate seen (for rebasing)
+
+    def add_read(self, codes: np.ndarray, offset: int) -> None:
+        for p, c in enumerate(codes):
+            c = int(c)
+            if c >= 4:
+                continue
+            pos = offset + p
+            vec = self.counts.get(pos)
+            if vec is None:
+                vec = np.zeros(4, dtype=np.int32)
+                self.counts[pos] = vec
+            vec[c] += 1
+
+    def consensus(self) -> Tuple[str, int]:
+        """(consensus string, start coordinate). Gaps in coverage (possible
+        only transiently) become N."""
+        if not self.counts:
+            return "", 0
+        lo = min(self.counts)
+        hi = max(self.counts)
+        out = np.full(hi - lo + 1, 4, dtype=np.int8)
+        for pos, vec in self.counts.items():
+            # argmax with tie -> smaller base code (np.argmax picks first max)
+            out[pos - lo] = np.argmax(vec)
+        return decode_seq(out), lo
+
+
+def _build_postings(
+    kmers: np.ndarray, valid: np.ndarray
+) -> Dict[int, List[Tuple[int, int]]]:
+    """kmer code -> [(read_index, position)] in deterministic order."""
+    reads_idx, pos_idx = np.nonzero(valid)
+    codes = kmers[reads_idx, pos_idx]
+    order = np.lexsort((pos_idx, reads_idx, codes))
+    postings: Dict[int, List[Tuple[int, int]]] = {}
+    for o in order:
+        postings.setdefault(int(codes[o]), []).append((int(reads_idx[o]), int(pos_idx[o])))
+    return postings
+
+
+def _mismatches(a: np.ndarray, b: np.ndarray) -> int:
+    usable = (a < 4) & (b < 4)
+    return int(np.sum((a != b) & usable))
+
+
+def assemble(
+    kmer_values: np.ndarray,
+    kmer_counts: np.ndarray,
+    batch: ReadBatch,
+    k: int,
+    min_contig_reads: int = 2,
+    min_contig_len: int = 20,
+    max_read_mismatch_frac: float = 0.10,
+    contig_id_prefix: str = "contig",
+) -> List[Contig]:
+    """Assemble contigs from sample-only k-mers.
+
+    Args:
+      kmer_values/kmer_counts: output of ops.kmer.sample_only_kmers —
+        already ordered count desc, code asc (the processing order).
+      batch: the SV-informative reads.
+      k: k-mer size used for kmer_values.
+
+    Returns contigs in creation order, each with per-read contig offsets
+    (needed later for split-read support counting — SURVEY.md §2 #13).
+    """
+    if len(kmer_values) == 0 or len(batch) == 0:
+        return []
+
+    import jax.numpy as jnp
+
+    km, valid = kmer_ops.kmer_codes(
+        jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k
+    )
+    km = np.asarray(km)
+    valid = np.asarray(valid)
+    postings = _build_postings(km, valid)
+
+    sample_only = set(int(v) for v in kmer_values)
+    kmer_used: set = set()
+    read_used: set = set()
+    contigs: List[Contig] = []
+
+    for seed_code in (int(v) for v in kmer_values):
+        if seed_code in kmer_used:
+            continue
+        seed_hits = [(r, p) for (r, p) in postings.get(seed_code, []) if r not in read_used]
+        if len(seed_hits) < min_contig_reads:
+            kmer_used.add(seed_code)
+            continue
+
+        grow = _Growing()
+        placed: List[ContigRead] = []
+        placed_set: set = set()
+        queue = deque([seed_code])
+        queued = {seed_code}
+        consensus = ""
+        cons_start = 0
+        # seed read: first hit in deterministic order, anchored at its kmer
+        # position so contig coordinate 0 is the seed read's first base
+        first_r, first_p = seed_hits[0]
+
+        def place(read_idx: int, read_kpos: int, contig_kpos: int) -> bool:
+            nonlocal consensus, cons_start
+            if read_idx in placed_set:
+                return False
+            length = int(batch.lengths[read_idx])
+            codes = batch.codes[read_idx, :length]
+            offset = contig_kpos - read_kpos
+            if consensus:
+                # verify agreement over the overlap with current consensus
+                c_lo = max(cons_start, offset)
+                c_hi = min(cons_start + len(consensus), offset + length)
+                if c_hi > c_lo:
+                    cons_codes = np.frombuffer(
+                        consensus.encode(), dtype=np.uint8
+                    )
+                    lut = np.full(256, 4, dtype=np.int8)
+                    for ch, cc in zip(b"ACGT", range(4)):
+                        lut[ch] = cc
+                    cseg = lut[cons_codes[c_lo - cons_start : c_hi - cons_start]]
+                    rseg = codes[c_lo - offset : c_hi - offset]
+                    ov = c_hi - c_lo
+                    if _mismatches(cseg, rseg) > max(2, int(max_read_mismatch_frac * ov)):
+                        return False
+            grow.add_read(codes, offset)
+            placed.append(ContigRead(batch.names[read_idx], read_idx, offset, length))
+            placed_set.add(read_idx)
+            consensus, cons_start = grow.consensus()
+            return True
+
+        place(first_r, first_p, 0)
+
+        while queue:
+            code = queue.popleft()
+            kmer_used.add(code)
+            # where does this kmer sit in the current consensus?
+            kstr = kmer_ops.kmer_to_str(code, k)
+            cpos = consensus.find(kstr)
+            if cpos == -1:
+                continue
+            contig_kpos = cons_start + cpos
+            for r, p in postings.get(code, []):
+                if r in read_used or r in placed_set:
+                    continue
+                place(r, p, contig_kpos)
+            # refresh: newly reachable sample-only kmers, scan order
+            for i in range(len(consensus) - k + 1):
+                sub = consensus[i : i + k]
+                if "N" in sub:
+                    continue
+                c2 = kmer_ops.str_to_kmer(sub)
+                if c2 in sample_only and c2 not in queued:
+                    queue.append(c2)
+                    queued.add(c2)
+
+        if len(placed) >= min_contig_reads and len(consensus) >= min_contig_len:
+            for cr in placed:
+                read_used.add(cr.index)
+            base = cons_start
+            contigs.append(
+                Contig(
+                    id=f"{contig_id_prefix}{len(contigs) + 1}",
+                    seq=consensus,
+                    reads=[
+                        ContigRead(cr.name, cr.index, cr.offset - base, cr.length)
+                        for cr in placed
+                    ],
+                    kmers=[
+                        kmer_ops.str_to_kmer(consensus[i : i + k])
+                        for i in range(len(consensus) - k + 1)
+                        if "N" not in consensus[i : i + k]
+                        and kmer_ops.str_to_kmer(consensus[i : i + k]) in sample_only
+                    ],
+                )
+            )
+    return contigs
