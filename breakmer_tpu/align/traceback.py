@@ -1,0 +1,288 @@
+"""Host-side affine-gap local alignment with full traceback.
+
+Division of labor (SURVEY.md §7 hard part 4): the device wavefront kernel
+(ops/sw.py, ops/sw_pallas.py) scores thousands of (contig, window) pairs
+and picks winners; only the few winning pairs per contig come here for the
+full DP with traceback that the breakpoint classifier needs (block/gap
+structure — the PSL-equivalent; reference: sv_caller.py class blat_res).
+
+Scoring semantics are IDENTICAL to ops.sw.sw_score (same gap model, same
+wavefront tie-breaking) — tested against it and against the triple-loop
+oracle. The fill is numpy anti-diagonal vectorized: ~Lq+Lt steps of
+vector ops, fine for winner-only use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from breakmer_tpu.ops.sw import SWParams
+
+NEG = -(1 << 28)
+
+
+@dataclasses.dataclass
+class Alignment:
+    """A local alignment of query[q_start:q_end] to target[t_start:t_end]
+    (half-open), with CIGAR-style ops and block decomposition."""
+
+    score: int
+    q_start: int
+    q_end: int
+    t_start: int
+    t_end: int
+    ops: List[Tuple[str, int]]          # [('M'|'I'|'D', length)]; I consumes query
+    matches: int
+    mismatches: int
+
+    @property
+    def blocks(self) -> List[Tuple[int, int, int]]:
+        """Gapless blocks [(q_start, t_start, length)] — PSL blockSizes/
+        qStarts/tStarts equivalent (reference: sv_caller.py blat_res)."""
+        out = []
+        q, t = self.q_start, self.t_start
+        for op, ln in self.ops:
+            if op == "M":
+                out.append((q, t, ln))
+                q += ln
+                t += ln
+            elif op == "I":
+                q += ln
+            elif op == "D":
+                t += ln
+        return out
+
+    @property
+    def q_gaps(self) -> List[Tuple[int, int, int]]:
+        """Insertions: [(q_pos, t_pos, length)] — query bases absent from
+        the target (PSL qNumInsert side)."""
+        out = []
+        q, t = self.q_start, self.t_start
+        for op, ln in self.ops:
+            if op == "I":
+                out.append((q, t, ln))
+                q += ln
+            elif op == "D":
+                t += ln
+            else:
+                q += ln
+                t += ln
+        return out
+
+    @property
+    def t_gaps(self) -> List[Tuple[int, int, int]]:
+        """Deletions: [(q_pos, t_pos, length)] — target bases absent from
+        the query (PSL tNumInsert side)."""
+        out = []
+        q, t = self.q_start, self.t_start
+        for op, ln in self.ops:
+            if op == "D":
+                out.append((q, t, ln))
+                t += ln
+            elif op == "I":
+                q += ln
+            else:
+                q += ln
+                t += ln
+        return out
+
+    @property
+    def identity(self) -> float:
+        aligned = self.matches + self.mismatches
+        return self.matches / aligned if aligned else 0.0
+
+    def cigar_string(self) -> str:
+        return "".join(f"{ln}{op}" for op, ln in self.ops)
+
+
+def split_alignment(
+    aln: Alignment,
+    q: np.ndarray,
+    t: np.ndarray,
+    params: SWParams,
+    max_q_gap: int = 50,
+) -> List[Alignment]:
+    """Split an alignment at query gaps longer than ``max_q_gap``.
+
+    Parity rule (SURVEY.md §7 hard part 1): BLAT does not emit PSL rows
+    with large query inserts — a contig whose middle does not match the
+    window (e.g. an inverted or novel segment) comes back as separate
+    rows. The affine DP, by contrast, will happily absorb a large query
+    gap when the flanks pay for it; splitting here restores the
+    blat-equivalent multi-segment shape so the classifier sees junctions,
+    and the masked-requery loop gets a chance to place the middle
+    elsewhere (inversions). Target gaps are never split — a large target
+    gap IS the deletion signal, whether it surfaces as a gapped alignment
+    or as split segments. ``q``/``t`` are the aligned base-code arrays
+    (needed to recount matches exactly per piece).
+    """
+    if not any(op == "I" and ln > max_q_gap for op, ln in aln.ops):
+        return [aln]
+    out: List[Alignment] = []
+    qpos, tpos = aln.q_start, aln.t_start
+    cur_ops: List[Tuple[str, int]] = []
+    cur_q0, cur_t0 = qpos, tpos
+
+    def flush(end_q: int, end_t: int) -> None:
+        nonlocal cur_ops, cur_q0, cur_t0
+        # trim non-M edges
+        ops = list(cur_ops)
+        q0, t0 = cur_q0, cur_t0
+        while ops and ops[0][0] != "M":
+            op, ln = ops.pop(0)
+            if op == "I":
+                q0 += ln
+            else:
+                t0 += ln
+        q1, t1 = end_q, end_t
+        while ops and ops[-1][0] != "M":
+            op, ln = ops.pop()
+            if op == "I":
+                q1 -= ln
+            else:
+                t1 -= ln
+        if ops:
+            matches = mismatches = 0
+            score = 0
+            qq, tt = q0, t0
+            for op, ln in ops:
+                if op == "M":
+                    eq = np.asarray(q[qq : qq + ln]) == np.asarray(t[tt : tt + ln])
+                    matches += int(np.sum(eq))
+                    mismatches += ln - int(np.sum(eq))
+                    qq += ln
+                    tt += ln
+                else:
+                    score -= params.gap_open + params.gap_extend * ln
+                    if op == "I":
+                        qq += ln
+                    else:
+                        tt += ln
+            score += params.match * matches - params.mismatch * mismatches
+            out.append(
+                Alignment(max(score, 0), q0, q1, t0, t1, ops, matches, mismatches)
+            )
+        cur_ops = []
+
+    for op, ln in aln.ops:
+        if op == "I" and ln > max_q_gap:
+            flush(qpos, tpos)
+            qpos += ln
+            cur_q0, cur_t0 = qpos, tpos
+        else:
+            cur_ops.append((op, ln))
+            if op in ("M", "I"):
+                qpos += ln
+            if op in ("M", "D"):
+                tpos += ln
+    flush(qpos, tpos)
+    return out
+
+
+def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):
+    """Anti-diagonal vectorized fill of full H/E/F matrices (1-based)."""
+    n, m = len(q), len(t)
+    H = np.zeros((n + 1, m + 1), dtype=np.int32)
+    E = np.full((n + 1, m + 1), NEG, dtype=np.int32)
+    F = np.full((n + 1, m + 1), NEG, dtype=np.int32)
+    go = p.gap_open + p.gap_extend
+    ge = p.gap_extend
+    qv = q.astype(np.int32)
+    tv = t.astype(np.int32)
+    best, bi, bj = 0, -1, -1
+    for d in range(n + m - 1):
+        i0 = max(0, d - m + 1)
+        i1 = min(n - 1, d)
+        i = np.arange(i0, i1 + 1)
+        j = d - i
+        ii, jj = i + 1, j + 1
+        E[ii, jj] = np.maximum(H[ii, jj - 1] - go, E[ii, jj - 1] - ge)
+        F[ii, jj] = np.maximum(H[ii - 1, jj] - go, F[ii - 1, jj] - ge)
+        sub = np.where(
+            (qv[i] >= 4) | (tv[j] >= 4),
+            NEG,
+            np.where(qv[i] == tv[j], p.match, -p.mismatch),
+        )
+        H[ii, jj] = np.maximum(
+            np.maximum(H[ii - 1, jj - 1] + sub, 0), np.maximum(E[ii, jj], F[ii, jj])
+        )
+        vals = H[ii, jj]
+        k = int(np.argmax(vals))
+        if vals[k] > best:
+            best, bi, bj = int(vals[k]), int(i[k]), int(j[k])
+    return H, E, F, best, bi, bj
+
+
+def traceback_align(
+    q: np.ndarray, t: np.ndarray, params: SWParams = SWParams()
+) -> Alignment:
+    """Full local alignment of base-code arrays q vs t.
+
+    Returns a zero-score empty Alignment when nothing aligns.
+    """
+    q = np.asarray(q, dtype=np.int8)
+    t = np.asarray(t, dtype=np.int8)
+    if len(q) == 0 or len(t) == 0:
+        return Alignment(0, 0, 0, 0, 0, [], 0, 0)
+    H, E, F, best, bi, bj = _fill(q, t, params)
+    if best <= 0:
+        return Alignment(0, 0, 0, 0, 0, [], 0, 0)
+    go = params.gap_open + params.gap_extend
+    ge = params.gap_extend
+    ops_rev: List[str] = []
+    matches = mismatches = 0
+    i, j = bi + 1, bj + 1  # 1-based
+    state = "H"
+    while i > 0 and j > 0:
+        if state == "H":
+            h = H[i, j]
+            if h == 0:
+                break
+            sub = params.match if q[i - 1] == t[j - 1] else -params.mismatch
+            if q[i - 1] >= 4 or t[j - 1] >= 4:
+                sub = NEG
+            if h == H[i - 1, j - 1] + sub:
+                ops_rev.append("M")
+                if q[i - 1] == t[j - 1]:
+                    matches += 1
+                else:
+                    mismatches += 1
+                i -= 1
+                j -= 1
+            elif h == E[i, j]:
+                state = "E"
+            elif h == F[i, j]:
+                state = "F"
+            else:  # pragma: no cover - would indicate a fill bug
+                raise AssertionError("traceback: inconsistent H cell")
+        elif state == "E":
+            ops_rev.append("D")  # consume target
+            if E[i, j] == H[i, j - 1] - go:
+                state = "H"
+            j -= 1
+        else:  # F
+            ops_rev.append("I")  # consume query
+            if F[i, j] == H[i - 1, j] - go:
+                state = "H"
+            i -= 1
+    q_start, t_start = i, j
+    # compress ops
+    ops: List[Tuple[str, int]] = []
+    for op in reversed(ops_rev):
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + 1)
+        else:
+            ops.append((op, 1))
+    return Alignment(
+        score=best,
+        q_start=q_start,
+        q_end=bi + 1,
+        t_start=t_start,
+        t_end=bj + 1,
+        ops=ops,
+        matches=matches,
+        mismatches=mismatches,
+    )

@@ -1,0 +1,190 @@
+import random
+
+import numpy as np
+import pytest
+
+from breakmer_tpu.align import GenomeIndex, SeedIndex, realign_contig, traceback_align
+from breakmer_tpu.align.realign import RegionRef
+from breakmer_tpu.encode import encode_seq, revcomp
+from breakmer_tpu.ops.sw import SWParams
+from tests.oracles import oracle_sw
+
+
+def _rand(seed, n):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+# --------------------------------------------------------------------------
+# traceback
+# --------------------------------------------------------------------------
+
+def test_traceback_scores_match_oracle():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        q = "".join(rng.choice(list("ACGT"), int(rng.integers(8, 40))))
+        t = "".join(rng.choice(list("ACGT"), int(rng.integers(8, 60))))
+        aln = traceback_align(encode_seq(q), encode_seq(t))
+        exp, eqe, ete = oracle_sw(q, t)
+        assert aln.score == exp
+        if exp > 0:
+            assert (aln.q_end - 1, aln.t_end - 1) == (eqe, ete)
+
+
+def test_traceback_exact_match():
+    aln = traceback_align(encode_seq("ACGTACGT"), encode_seq("TTACGTACGTTT"))
+    assert aln.ops == [("M", 8)]
+    assert (aln.q_start, aln.q_end, aln.t_start, aln.t_end) == (0, 8, 2, 10)
+    assert aln.matches == 8 and aln.mismatches == 0
+    assert aln.identity == 1.0
+    assert aln.blocks == [(0, 2, 8)]
+
+
+def test_traceback_insertion():
+    # query has 6bp the target lacks
+    flank1, ins, flank2 = "ACGGTACCAGTT", "CACACA", "GCAGATCGGACT"
+    q = flank1 + ins + flank2
+    t = flank1 + flank2
+    aln = traceback_align(encode_seq(q), encode_seq(t))
+    assert aln.ops == [("M", 12), ("I", 6), ("M", 12)]
+    assert aln.q_gaps == [(12, 12, 6)]
+    assert aln.t_gaps == []
+    assert aln.cigar_string() == "12M6I12M"
+
+
+def test_traceback_deletion():
+    flank1, dele, flank2 = "ACGGTACCAGTT", "CACACA", "GCAGATCGGACT"
+    q = flank1 + flank2
+    t = flank1 + dele + flank2
+    aln = traceback_align(encode_seq(q), encode_seq(t))
+    assert aln.ops == [("M", 12), ("D", 6), ("M", 12)]
+    assert aln.t_gaps == [(12, 12, 6)]
+    assert aln.q_gaps == []
+
+
+def test_traceback_mismatch_counting():
+    q = "ACGTACGTACGT"
+    t = "ACGTACCTACGT"  # one mismatch in the middle
+    aln = traceback_align(encode_seq(q), encode_seq(t))
+    assert aln.matches == 11 and aln.mismatches == 1
+    assert aln.ops == [("M", 12)]
+
+
+def test_traceback_empty():
+    aln = traceback_align(encode_seq("GGGG"), encode_seq("CCCC"))
+    assert aln.score == 0 and aln.ops == []
+
+
+# --------------------------------------------------------------------------
+# seed index
+# --------------------------------------------------------------------------
+
+def test_seed_index_exact_hit():
+    ref = _rand(1, 500)
+    idx = SeedIndex(encode_seq(ref), 11)
+    query = ref[100:180]
+    wins = idx.candidates(encode_seq(query))
+    assert wins, "no candidate windows"
+    w = wins[0]
+    assert w.strand == "+"
+    assert w.t_start <= 100 and w.t_end >= 180
+
+
+def test_seed_index_revcomp_hit():
+    ref = _rand(2, 500)
+    idx = SeedIndex(encode_seq(ref), 11)
+    query = revcomp(ref[200:280])
+    wins = idx.candidates(encode_seq(query))
+    assert wins and wins[0].strand == "-"
+    assert wins[0].t_start <= 200 and wins[0].t_end >= 280
+
+
+def test_seed_index_no_hit():
+    ref = _rand(3, 300)
+    idx = SeedIndex(encode_seq(ref), 11)
+    assert idx.candidates(encode_seq(_rand(99, 60))) == []
+
+
+def test_genome_index_multi_chrom():
+    g = {"chr1": _rand(4, 400), "chr2": _rand(5, 400)}
+    gi = GenomeIndex(g, 11)
+    query = g["chr2"][150:230]
+    wins = gi.candidates(encode_seq(query))
+    assert wins and wins[0].chrom == "chr2"
+
+
+# --------------------------------------------------------------------------
+# realign driver
+# --------------------------------------------------------------------------
+
+def _region_ref(seq, chrom="chr1", start=1000):
+    return RegionRef.build(chrom, start, encode_seq(seq))
+
+
+def test_realign_full_hit():
+    ref = _rand(6, 600)
+    region = _region_ref(ref)
+    contig = ref[200:340]
+    segs = realign_contig(encode_seq(contig), region)
+    assert len(segs) == 1
+    s = segs[0]
+    assert (s.q_start, s.q_end) == (0, 140)
+    assert (s.t_start, s.t_end) == (1200, 1340)
+    assert s.strand == "+" and s.identity == 1.0
+
+
+def test_realign_indel_contig():
+    ref = _rand(7, 600)
+    ins = "TTGACCATGGATCCGGTACA"
+    contig = ref[200:280] + ins + ref[280:360]
+    segs = realign_contig(encode_seq(contig), _region_ref(ref))
+    assert len(segs) == 1
+    aln = segs[0].alignment
+    assert aln.q_gaps and aln.q_gaps[0][2] == len(ins)
+    # insertion point maps to genomic 1000+280 (+-2 for homology shift)
+    q_pos, t_pos, ln = aln.q_gaps[0]
+    assert abs(segs[0].t_start + (t_pos - aln.t_start) - 1280) <= 2
+
+
+def test_realign_split_deletion():
+    ref = _rand(8, 900)
+    # contig spans a 300bp deletion: [100..250) + [550..700)
+    contig = ref[100:250] + ref[550:700]
+    segs = realign_contig(encode_seq(contig), _region_ref(ref))
+    assert len(segs) == 2
+    a, b = segs
+    assert a.q_start == 0 and abs(a.q_end - 150) <= 12
+    assert abs(b.q_start - 150) <= 12 and b.q_end == 300
+    assert abs(a.t_end - 1250) <= 12
+    assert abs(b.t_start - 1550) <= 12
+
+
+def test_realign_inversion_segment():
+    ref = _rand(9, 900)
+    # middle of contig is an inverted reference segment
+    contig = ref[100:200] + revcomp(ref[400:500]) + ref[200:300]
+    segs = realign_contig(encode_seq(contig), _region_ref(ref))
+    strands = [s.strand for s in segs]
+    assert "-" in strands and "+" in strands
+    inv = [s for s in segs if s.strand == "-"][0]
+    assert abs(inv.t_start - 1400) <= 12 and abs(inv.t_end - 1500) <= 12
+
+
+def test_realign_translocation_via_genome():
+    chr1 = _rand(10, 600)
+    chr9 = _rand(11, 600)
+    region = _region_ref(chr1, chrom="chr1", start=0)
+    genome = GenomeIndex({"chr1": chr1, "chr9": chr9}, 11)
+    contig = chr1[100:220] + chr9[300:420]
+    segs = realign_contig(encode_seq(contig), region, genome=genome)
+    assert len(segs) == 2
+    chroms = {s.chrom for s in segs}
+    assert chroms == {"chr1", "chr9"}
+    s9 = [s for s in segs if s.chrom == "chr9"][0]
+    assert abs(s9.t_start - 300) <= 12
+
+
+def test_realign_nothing():
+    region = _region_ref(_rand(12, 500))
+    segs = realign_contig(encode_seq(_rand(77, 100)), region)
+    assert segs == []
