@@ -61,10 +61,15 @@ class Config:
     rearr_min_seg_len: int = 30    # min segment length for rearrangements
     trl_min_seg_len: int = 25      # min segment length for translocations
     min_disc_reads: int = 2        # discordant-pair support for translocations
+    min_junction_overlap: int = 5  # bp a split read must span past a junction
+    disc_pair_window: int = 1000   # bp window for matching disc mates to breakpoints
     max_repeat_frac: float = 0.75  # reject segment if rmask overlap above this
     min_complexity: float = 0.25   # low-complexity contig filter threshold
     keep_repeat_regions: bool = False
     keep_intron_vars: bool = False
+
+    build_genome_index: bool = True  # in-memory genome seed index (gfServer analog)
+    device: str = "auto"           # auto | cpu | tpu (see breakmer_tpu.device)
 
     # --- device / parallel ------------------------------------------------
     nprocs: int = 1                # reference -p; here: host-side worker hint

@@ -1,0 +1,180 @@
+"""Per-target-region pipeline.
+
+Reference: sv_processor.py ``class target`` (SURVEY.md §2 #4, §3.2-3.3):
+per-region state + the two-phase driver — ``find_sv_reads`` (extract ->
+clean -> k-mer subtract) and ``resolve_sv`` (assemble -> realign -> call).
+The reference round-trips every stage through files and subprocesses; here
+each stage hands packed arrays to the next, with the device doing k-mer
+work and batched SW scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional
+
+import numpy as np
+
+from breakmer_tpu.align.index import GenomeIndex
+from breakmer_tpu.align.realign import RegionRef, realign_contig
+from breakmer_tpu.assemble.greedy import Contig, assemble
+from breakmer_tpu.call.events import SVEvent, classify_contig
+from breakmer_tpu.call.filters import apply_filters
+from breakmer_tpu.config import Config
+from breakmer_tpu.encode import ReadBatch
+from breakmer_tpu.extract import ExtractResult, clean_reads, extract_sv_reads
+from breakmer_tpu.io.bed import TargetRegion
+from breakmer_tpu.io.sam import SamRecord
+from breakmer_tpu.ops.kmer import sample_only_kmers
+from breakmer_tpu.ops.sw import SWParams
+from breakmer_tpu.utils.logging import get_logger
+from breakmer_tpu.utils.rmask import RepeatMask
+
+log = get_logger("pipeline")
+
+
+@dataclasses.dataclass
+class RegionResult:
+    """Everything the runner aggregates per target (reference:
+    target.complete_analysis output)."""
+
+    target: TargetRegion
+    events: List[SVEvent]
+    all_events: List[SVEvent]       # including filtered (observability)
+    contigs: List[Contig]
+    n_records: int = 0
+    n_sv_reads: int = 0
+    n_clean_reads: int = 0
+    n_sample_kmers: int = 0
+    error: Optional[str] = None
+
+
+class TargetPipeline:
+    """Drives one target region end-to-end (reference: class target)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        target: TargetRegion,
+        region_ref: RegionRef,
+        genome: Optional[GenomeIndex] = None,
+        rmask: Optional[RepeatMask] = None,
+        normal_batch: Optional[ReadBatch] = None,
+    ):
+        self.cfg = cfg
+        self.target = target
+        self.region_ref = region_ref
+        self.genome = genome
+        self.rmask = rmask
+        self.normal_batch = normal_batch
+        self.extract_result: Optional[ExtractResult] = None
+        self.clean_batch: Optional[ReadBatch] = None
+        self.kmer_values: Optional[np.ndarray] = None
+        self.kmer_counts: Optional[np.ndarray] = None
+
+    # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
+    def find_sv_reads(self, records: Iterable[SamRecord]) -> bool:
+        cfg = self.cfg
+        chrom, start, end = self.target.span(cfg.region_buffer)
+        self.extract_result = extract_sv_reads(records, (chrom, start, end), cfg)
+        batch = self.extract_result.batch
+        if len(batch) == 0:
+            return False
+        self.clean_batch = clean_reads(batch)
+        if len(self.clean_batch) == 0:
+            return False
+        normal = self.normal_batch
+        self.kmer_values, self.kmer_counts = sample_only_kmers(
+            self.clean_batch.codes,
+            self.clean_batch.lengths,
+            self.region_ref.codes,
+            cfg.kmer_size,
+            normal_codes=normal.codes if normal is not None and len(normal) else None,
+            normal_lengths=normal.lengths if normal is not None and len(normal) else None,
+            min_count=cfg.min_kmer_count,
+        )
+        return len(self.kmer_values) > 0
+
+    # -- phase 2: resolve_sv (reference: target.resolve_sv) ----------------
+    def resolve_sv(self) -> RegionResult:
+        cfg = self.cfg
+        result = RegionResult(
+            target=self.target,
+            events=[],
+            all_events=[],
+            contigs=[],
+            n_records=self.extract_result.n_records if self.extract_result else 0,
+            n_sv_reads=self.extract_result.n_sv_reads if self.extract_result else 0,
+            n_clean_reads=len(self.clean_batch) if self.clean_batch else 0,
+            n_sample_kmers=len(self.kmer_values) if self.kmer_values is not None else 0,
+        )
+        if self.kmer_values is None or len(self.kmer_values) == 0:
+            return result
+        contigs = assemble(
+            self.kmer_values,
+            self.kmer_counts,
+            self.clean_batch,
+            cfg.kmer_size,
+            min_contig_reads=cfg.min_contig_reads,
+            min_contig_len=cfg.min_contig_len,
+            contig_id_prefix=f"{self.target.name}_contig",
+        )
+        result.contigs = contigs
+        params = SWParams(
+            match=cfg.match_score,
+            mismatch=cfg.mismatch_pen,
+            gap_open=cfg.gap_open_pen,
+            gap_extend=cfg.gap_extend_pen,
+        )
+        for contig in contigs:
+            from breakmer_tpu.encode import encode_seq
+
+            segs = realign_contig(
+                encode_seq(contig.seq),
+                self.region_ref,
+                genome=self.genome,
+                params=params,
+                min_seg_len=min(cfg.trl_min_seg_len, cfg.rearr_min_seg_len),
+                min_identity=cfg.min_identity,
+                full_hit_cov=cfg.full_hit_cov,
+            )
+            if not segs:
+                continue
+            events = classify_contig(
+                contig,
+                segs,
+                self.target.name,
+                cfg,
+                disc=self.extract_result.disc if self.extract_result else None,
+                coverage_at=(
+                    self.extract_result.coverage_at
+                    if self.extract_result
+                    else None
+                ),
+            )
+            result.all_events.extend(events)
+        result.events = apply_filters(
+            result.all_events, cfg, rmask=self.rmask, target=self.target
+        )
+        return result
+
+    # -- one-call driver (reference: target.complete_analysis) -------------
+    def run(self, records: Iterable[SamRecord]) -> RegionResult:
+        try:
+            if not self.find_sv_reads(records):
+                return RegionResult(
+                    target=self.target,
+                    events=[],
+                    all_events=[],
+                    contigs=[],
+                    n_records=self.extract_result.n_records if self.extract_result else 0,
+                    n_sv_reads=self.extract_result.n_sv_reads if self.extract_result else 0,
+                    n_clean_reads=len(self.clean_batch) if self.clean_batch else 0,
+                )
+            return self.resolve_sv()
+        except Exception as exc:  # region-level fault isolation (SURVEY.md §5)
+            log.exception("target %s failed", self.target.name)
+            return RegionResult(
+                target=self.target, events=[], all_events=[], contigs=[],
+                error=f"{type(exc).__name__}: {exc}",
+            )

@@ -1,0 +1,182 @@
+"""Run orchestrator / region scheduler.
+
+Reference: sv_processor.py ``class runner`` (SURVEY.md §2 #3, §3.1):
+parses the targets BED, prepares per-target reference data, iterates
+targets (the reference forks a multiprocessing pool; the only parallelism
+it has), and writes the aggregate ``output/<analysis_name>_svs.out``.
+
+Differences by design: no gfServer to start (the genome index is an
+in-memory object), reference data is cached as packed .npy artifacts
+(content-addressed by region), and a per-region completion ledger enables
+resume at region granularity (SURVEY.md §5 checkpoint/resume). Device-
+level data parallelism over regions lives in parallel/ and is used by the
+batched k-mer/SW calls; host-side orchestration here stays single-process
+and deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from breakmer_tpu.align.index import GenomeIndex
+from breakmer_tpu.align.realign import RegionRef
+from breakmer_tpu.call.events import SVEvent
+from breakmer_tpu.config import Config
+from breakmer_tpu.encode import ReadBatch, encode_seq
+from breakmer_tpu.io.bed import TargetRegion, read_targets_bed
+from breakmer_tpu.io.fasta import FastaIndex, read_fasta
+from breakmer_tpu.io.sam import read_sam
+from breakmer_tpu.pipeline import RegionResult, TargetPipeline
+from breakmer_tpu.report import event_row, write_svs_rows
+from breakmer_tpu.utils.logging import get_logger, setup_logger
+from breakmer_tpu.utils.rmask import RepeatMask
+
+log = get_logger("runner")
+
+
+class Runner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.targets: Dict[str, TargetRegion] = {}
+        self.fasta: Optional[FastaIndex] = None
+        self.genome: Optional[GenomeIndex] = None
+        self.rmask: Optional[RepeatMask] = None
+        self.results: List[RegionResult] = []
+        self.total_calls = 0  # rows in the aggregate output (incl. resumed)
+
+    # -- setup (reference: runner.__init__ + start_blat_server) ------------
+    def setup(self) -> None:
+        cfg = self.cfg
+        setup_logger(cfg.analysis_dir, cfg.log_level)
+        from breakmer_tpu.device import configure
+
+        platform = configure(cfg.device)
+        log.info("compute platform: %s", platform)
+        gene_list = None
+        if cfg.gene_list:
+            gene_list = [g.strip() for g in Path(cfg.gene_list).read_text().split()]
+        self.targets = read_targets_bed(cfg.targets_bed_file, gene_list)
+        self.fasta = FastaIndex(cfg.reference_fasta)
+        if cfg.build_genome_index:
+            # gfServer replacement: in-memory whole-genome seed index
+            t0 = time.time()
+            self.genome = GenomeIndex(
+                read_fasta(cfg.reference_fasta), cfg.seed_kmer_size
+            )
+            log.info("genome index built in %.1fs", time.time() - t0)
+        if cfg.repeat_mask_file:
+            self.rmask = RepeatMask.from_bed(cfg.repeat_mask_file)
+
+    # -- reference data (reference: preset_ref_data / set_ref_data) --------
+    def region_ref(self, target: TargetRegion) -> RegionRef:
+        cfg = self.cfg
+        chrom, start, end = target.span(cfg.region_buffer)
+        cache_dir = Path(cfg.reference_data_dir) if cfg.reference_data_dir else None
+        if cache_dir:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            key = f"{target.name}_{chrom}_{start}_{end}_codes.npy"
+            fp = cache_dir / key
+            if fp.exists():
+                codes = np.load(fp)
+                return RegionRef.build(chrom, start, codes, cfg.seed_kmer_size)
+        codes = self.fasta.fetch_codes(chrom, start, end)
+        if cache_dir:
+            np.save(cache_dir / key, codes)
+        return RegionRef.build(chrom, start, codes, cfg.seed_kmer_size)
+
+    def preset_ref_data(self) -> None:
+        """Build all region caches up front (reference preset mode,
+        SURVEY.md §3.4)."""
+        for target in self.targets.values():
+            self.region_ref(target)
+
+    # -- ledger (checkpoint/resume, SURVEY.md §5) --------------------------
+    @property
+    def _ledger_path(self) -> Path:
+        return Path(self.cfg.analysis_dir) / "ledger.json"
+
+    def _load_ledger(self) -> Dict[str, dict]:
+        if self._ledger_path.exists():
+            return json.loads(self._ledger_path.read_text())
+        return {}
+
+    def _save_ledger(self, ledger: Dict[str, dict]) -> None:
+        self._ledger_path.parent.mkdir(parents=True, exist_ok=True)
+        self._ledger_path.write_text(json.dumps(ledger, indent=1))
+
+    # -- normal reads for kmer subtraction ---------------------------------
+    def _normal_batch(self, target: TargetRegion) -> Optional[ReadBatch]:
+        cfg = self.cfg
+        if not cfg.normal_bam_file:
+            return None
+        chrom, start, end = target.span(cfg.region_buffer)
+        seqs, names = [], []
+        for rec in read_sam(cfg.normal_bam_file, region=(chrom, start, end)):
+            if rec.seq and rec.seq != "*":
+                seqs.append(rec.seq)
+                names.append(rec.qname)
+        return ReadBatch.from_seqs(seqs, names=names) if seqs else None
+
+    # -- main loop (reference: runner.run) ---------------------------------
+    def run(self, resume: bool = False) -> List[SVEvent]:
+        cfg = self.cfg
+        if not self.targets:
+            self.setup()
+        ledger = self._load_ledger() if resume else {}
+        all_events: List[SVEvent] = []
+        t_start = time.time()
+        for name, target in self.targets.items():
+            if name in ledger:
+                log.info(
+                    "target %s: resumed from ledger (%d calls)",
+                    name, len(ledger[name].get("rows", [])),
+                )
+                continue
+            t0 = time.time()
+            region_ref = self.region_ref(target)
+            chrom, start, end = target.span(cfg.region_buffer)
+            records = read_sam(cfg.sample_bam_file, region=(chrom, start, end))
+            pipe = TargetPipeline(
+                cfg,
+                target,
+                region_ref,
+                genome=self.genome,
+                rmask=self.rmask,
+                normal_batch=self._normal_batch(target),
+            )
+            result = pipe.run(records)
+            self.results.append(result)
+            all_events.extend(result.events)
+            log.info(
+                "target %s: %d records, %d sv reads, %d kmers, %d contigs, "
+                "%d calls (%d pre-filter) in %.2fs%s",
+                name, result.n_records, result.n_sv_reads,
+                result.n_sample_kmers, len(result.contigs),
+                len(result.events), len(result.all_events),
+                time.time() - t0,
+                f" ERROR={result.error}" if result.error else "",
+            )
+            ledger[name] = {
+                "rows": [event_row(ev) for ev in result.events],
+                "error": result.error,
+                "elapsed_s": round(time.time() - t0, 3),
+            }
+            self._save_ledger(ledger)
+        # aggregate from the ledger so resumed targets keep their calls
+        all_rows = [
+            row for name in self.targets for row in ledger.get(name, {}).get("rows", [])
+        ]
+        out = Path(cfg.analysis_dir) / "output" / f"{cfg.analysis_name}_svs.out"
+        write_svs_rows(out, all_rows)
+        self.total_calls = len(all_rows)
+        log.info(
+            "run complete: %d targets, %d calls (%d new) in %.1fs -> %s",
+            len(self.targets), len(all_rows), len(all_events),
+            time.time() - t_start, out,
+        )
+        return all_events

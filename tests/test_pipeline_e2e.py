@@ -1,0 +1,206 @@
+"""End-to-end panel tests (BASELINE.json configs #1, #2, #4: single-region
+indel call; large deletion / tandem dup; translocation with discordant
+support), CPU-runnable (SURVEY.md §4.3)."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from breakmer_tpu.cli import main as cli_main
+from breakmer_tpu.config import Config
+from breakmer_tpu.io.fasta import write_fasta
+from breakmer_tpu.report import read_svs_out
+from breakmer_tpu.runner import Runner
+from tests.fixtures import Haplotype, NovelBlock, RefBlock, SamBuilder, rand_seq
+
+
+@pytest.fixture(scope="module")
+def panel(tmp_path_factory):
+    """A 2-chromosome genome with four target genes and planted SVs:
+    GENE1 20bp insertion, GENE2 60bp deletion, GENE3 tandem dup,
+    GENE4 no SV, GENE5 translocation chr1<->chr2 with discordant pairs."""
+    work = tmp_path_factory.mktemp("panel")
+    genome = {"chr1": rand_seq(101, 12000), "chr2": rand_seq(202, 8000)}
+    write_fasta(work / "genome.fa", genome)
+
+    targets = [
+        ("chr1", 1000, 1600, "GENE1"),
+        ("chr1", 3000, 3800, "GENE2"),
+        ("chr1", 5000, 5700, "GENE3"),
+        ("chr1", 7000, 7500, "GENE4"),
+        ("chr1", 9000, 9600, "GENE5"),
+    ]
+    with open(work / "targets.bed", "w") as fh:
+        for chrom, s, e, name in targets:
+            fh.write(f"{chrom}\t{s}\t{e}\t{name}\n")
+
+    sam = SamBuilder(genome)
+    INS = "TTGACCATGGATCCGGTACAT"  # 21bp novel insertion @ chr1:1300
+    hap1 = Haplotype(genome, [
+        RefBlock("chr1", 1000, 1300), NovelBlock(INS), RefBlock("chr1", 1300, 1600),
+    ])
+    sam.add_haplotype_reads(hap1, 180, 440, prefix="g1r")
+
+    # GENE2: 60bp deletion chr1:3400-3460
+    hap2 = Haplotype(genome, [
+        RefBlock("chr1", 3000, 3400), RefBlock("chr1", 3460, 3800),
+    ])
+    sam.add_haplotype_reads(hap2, 280, 520, prefix="g2r")
+
+    # GENE3: tandem duplication of chr1:5200-5400
+    hap3 = Haplotype(genome, [
+        RefBlock("chr1", 5000, 5400), RefBlock("chr1", 5200, 5700),
+    ])
+    sam.add_haplotype_reads(hap3, 280, 520, prefix="g3r")
+
+    # GENE5: translocation chr1:9300 -> chr2:4000
+    hap5 = Haplotype(genome, [
+        RefBlock("chr1", 9000, 9300), RefBlock("chr2", 4000, 4400),
+    ])
+    sam.add_haplotype_reads(hap5, 180, 420, prefix="g5r")
+    sam.add_discordant_pairs("chr1", 9300, "chr2", 4000, n=5)
+
+    # background coverage everywhere
+    for chrom, s, e, name in targets:
+        sam.add_background_pairs("chr1", s - 200, e + 200)
+    sam.write(work / "sample.sam")
+
+    cfg = Config(
+        analysis_name="e2e",
+        analysis_dir=str(work / "analysis"),
+        targets_bed_file=str(work / "targets.bed"),
+        reference_fasta=str(work / "genome.fa"),
+        reference_data_dir=str(work / "refdata"),
+        sample_bam_file=str(work / "sample.sam"),
+        kmer_size=15,
+        indel_size=15,
+        indel_sr_thresh=2,
+        rearr_sr_thresh=2,
+        trl_sr_thresh=2,
+    )
+    return work, cfg, INS
+
+
+@pytest.fixture(scope="module")
+def run_events(panel):
+    work, cfg, INS = panel
+    runner = Runner(cfg)
+    runner.setup()
+    events = runner.run()
+    return work, cfg, INS, runner, events
+
+
+def test_e2e_insertion_called(run_events):
+    _, _, INS, _, events = run_events
+    g1 = [e for e in events if e.genes == "GENE1"]
+    assert len(g1) == 1
+    ev = g1[0]
+    assert (ev.sv_type, ev.sv_subtype) == ("indel", "I")
+    assert ev.size == len(INS)
+    assert abs(ev.breakpoints[0][1] - 1300) <= 2
+    assert INS in ev.contig_seq
+    assert ev.split_read_count >= 2
+
+
+def test_e2e_deletion_called(run_events):
+    _, _, _, _, events = run_events
+    g2 = [e for e in events if e.genes == "GENE2"]
+    assert len(g2) == 1
+    ev = g2[0]
+    assert ev.sv_type in ("indel", "rearrangement")
+    assert ev.sv_subtype in ("D", "del")
+    assert abs(ev.size - 60) <= 3
+    chrom, s, e = ev.breakpoints[0]
+    assert abs(s - 3400) <= 3 and abs(e - 3460) <= 3
+
+
+def test_e2e_tandem_dup_called(run_events):
+    _, _, _, _, events = run_events
+    g3 = [e for e in events if e.genes == "GENE3"]
+    dups = [e for e in g3 if e.sv_subtype == "tandem_dup"]
+    assert len(dups) == 1
+    ev = dups[0]
+    assert abs(ev.size - 200) <= 12
+    chrom, s, e = ev.breakpoints[0]
+    assert abs(s - 5200) <= 12 and abs(e - 5400) <= 12
+
+
+def test_e2e_no_sv_in_clean_gene(run_events):
+    _, _, _, _, events = run_events
+    assert [e for e in events if e.genes == "GENE4"] == []
+
+
+def test_e2e_translocation_called(run_events):
+    _, _, _, _, events = run_events
+    g5 = [e for e in events if e.genes == "GENE5"]
+    trls = [e for e in g5 if e.sv_type == "trl"]
+    assert len(trls) == 1
+    ev = trls[0]
+    chroms = {bp[0] for bp in ev.breakpoints}
+    assert chroms == {"chr1", "chr2"}
+    bps = {bp[0]: bp[1] for bp in ev.breakpoints}
+    assert abs(bps["chr1"] - 9300) <= 3
+    assert abs(bps["chr2"] - 4000) <= 3
+    assert ev.disc_read_count >= 2
+    assert ev.split_read_count >= 2
+
+
+def test_e2e_output_file(run_events):
+    work, cfg, _, _, events = run_events
+    out = Path(cfg.analysis_dir) / "output" / "e2e_svs.out"
+    assert out.exists()
+    rows = read_svs_out(out)
+    assert len(rows) == len(events)
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+    for r in rows:
+        assert r["contig_seq"] and r["target_breakpoints"]
+
+
+def test_e2e_coverage_recorded(run_events):
+    _, _, _, _, events = run_events
+    # background pairs give nonzero depth at breakpoints
+    for ev in events:
+        assert any(c > 0 for c in ev.breakpoint_coverages), ev.genes
+
+
+def test_e2e_ledger_resume(panel):
+    work, cfg, _ = panel
+    ledger_path = Path(cfg.analysis_dir) / "ledger.json"
+    assert ledger_path.exists()
+    ledger = json.loads(ledger_path.read_text())
+    assert set(ledger) == {"GENE1", "GENE2", "GENE3", "GENE4", "GENE5"}
+    # resume: all targets in ledger -> no new work, no fresh events…
+    runner = Runner(cfg)
+    runner.setup()
+    events = runner.run(resume=True)
+    assert events == []
+    assert runner.results == []
+    # …but the aggregate output is REBUILT from the ledger, not clobbered
+    out = Path(cfg.analysis_dir) / "output" / "e2e_svs.out"
+    rows = read_svs_out(out)
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+
+
+def test_e2e_region_cache(panel):
+    work, cfg, _ = panel
+    cached = list(Path(cfg.reference_data_dir).glob("*_codes.npy"))
+    assert len(cached) == 5
+
+
+def test_cli_run(panel, tmp_path, capsys):
+    work, cfg, INS = panel
+    cfg_file = tmp_path / "cfg.json"
+    cfg2 = Config(**{**cfg.__dict__, "analysis_dir": str(tmp_path / "analysis2")})
+    cfg_file.write_text(cfg2.to_json())
+    rc = cli_main(["run", str(cfg_file)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SV calls written" in out
+    rows = read_svs_out(tmp_path / "analysis2" / "output" / "e2e_svs.out")
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+
+
+def test_cli_version(capsys):
+    assert cli_main(["version"]) == 0
+    assert capsys.readouterr().out.strip()
