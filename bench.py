@@ -1,0 +1,145 @@
+"""Benchmark harness — run on the real TPU chip.
+
+Headline metric (BASELINE.md): Smith-Waterman DP throughput in GCUPS
+(giga cell-updates per second) per chip, measured on the batched
+anti-diagonal wavefront kernel. Also measures the fused region step
+(k-mer subtract + SW) in regions/s and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline: the reference publishes no throughput numbers
+(BASELINE.json "published": {}), so the ratio is reported against the
+recorded best of THIS framework's first TPU measurement (stored in
+bench_baseline.json after the first run) — i.e. it tracks self-improvement
+across rounds; 1.0 on the first run.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_FILE = Path(__file__).parent / "bench_baseline.json"
+
+# benchmark shape: 512 (contig, window) pairs of 256x512 — a realistic
+# panel realignment burst (SURVEY.md §7: contig pad tier 256, window 512)
+B, LQ, LT = 512, 256, 512
+ITERS = 10
+
+
+def _time_sw(fn, q, t) -> float:
+    import jax
+
+    out = fn(q, t)  # warmup/compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(q, t)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def bench_sw(device) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from breakmer_tpu.ops.sw import sw_score
+    from breakmer_tpu.ops.sw_pallas import sw_score_pallas
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(0, 4, size=(B, LQ)).astype(np.int8))
+    t = jnp.asarray(rng.integers(0, 4, size=(B, LT)).astype(np.int8))
+    q = jax.device_put(q, device)
+    t = jax.device_put(t, device)
+
+    cells = B * LQ * LT
+    dt_xla = _time_sw(sw_score, q, t)
+    out = {
+        "sw_xla_gcups": cells / dt_xla / 1e9,
+        "sw_cells_per_batch": cells,
+    }
+    try:
+        # correctness cross-check on-device, then timing
+        s0, _, _ = sw_score(q, t)
+        s1, _, _ = sw_score_pallas(q, t)
+        if not bool(jnp.all(s0 == s1)):
+            raise RuntimeError("pallas kernel disagrees with XLA scores")
+        dt_pl = _time_sw(sw_score_pallas, q, t)
+        out["sw_pallas_gcups"] = cells / dt_pl / 1e9
+    except Exception as exc:  # pragma: no cover
+        out["sw_pallas_error"] = f"{type(exc).__name__}: {exc}"
+    out["sw_gcups"] = max(out.get("sw_pallas_gcups", 0.0), out["sw_xla_gcups"])
+    return out
+
+
+def bench_region_step(device) -> dict:
+    import jax
+
+    from breakmer_tpu.parallel.step import make_region_step
+
+    G, R, L, LREF = 8, 256, 128, 4096
+    GB, GLQ, GLT = 16, 256, 512
+    rng = np.random.default_rng(1)
+    inputs = (
+        rng.integers(0, 4, size=(G, R, L)).astype(np.int8),
+        np.full((G, R), L, dtype=np.int32),
+        rng.integers(0, 4, size=(G, LREF)).astype(np.int8),
+        np.full((G,), LREF, dtype=np.int32),
+        rng.integers(0, 4, size=(G, GB, GLQ)).astype(np.int8),
+        rng.integers(0, 4, size=(G, GB, GLT)).astype(np.int8),
+    )
+    inputs = tuple(jax.device_put(x, device) for x in inputs)
+    step = make_region_step(mesh=None, k=15)
+    out = step(*inputs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = step(*inputs)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return {
+        "regions_per_s": G / dt,
+        "reads_per_s": G * R / dt,
+        "region_step_ms": dt * 1e3,
+    }
+
+
+def main() -> None:
+    from breakmer_tpu.device import configure
+
+    platform = configure("auto")
+    import jax
+
+    device = jax.devices()[0]
+
+    sw = bench_sw(device)
+    step = bench_region_step(device)
+
+    value = round(sw["sw_gcups"], 3)
+    if BASELINE_FILE.exists():
+        base = json.loads(BASELINE_FILE.read_text())
+    else:
+        base = {"sw_gcups": value}
+        BASELINE_FILE.write_text(json.dumps(base))
+    vs = round(value / base["sw_gcups"], 3) if base.get("sw_gcups") else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "sw_wavefront_gcups_per_chip",
+                "value": value,
+                "unit": "GCUPS",
+                "vs_baseline": vs,
+                "platform": platform,
+                "device": str(device),
+                "detail": {**sw, **step},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

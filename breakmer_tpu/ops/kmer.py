@@ -64,6 +64,19 @@ def kmer_codes(codes: jax.Array, lengths: jax.Array, k: int) -> Tuple[jax.Array,
     return jnp.where(valid, acc, SENTINEL), valid
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def revcomp_kmers(codes: jax.Array, k: int) -> jax.Array:
+    """Reverse-complement packed k-mer codes on device (SENTINEL maps to
+    SENTINEL). Used to build the both-strand reference table without
+    leaving HBM."""
+    c = codes
+    out = jnp.zeros_like(c)
+    for _ in range(k):
+        out = (out << 2) | (jnp.uint32(3) - (c & jnp.uint32(3)))
+        c = c >> 2
+    return jnp.where(codes == SENTINEL, SENTINEL, out)
+
+
 @jax.jit
 def sort_kmers(kmers: jax.Array) -> jax.Array:
     """Flatten and sort kmer codes; SENTINEL (invalid) slots sort last."""

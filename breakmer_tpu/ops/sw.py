@@ -31,7 +31,9 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(1 << 28))
+# plain int (not a jnp scalar): also used inside Pallas kernels, where a
+# module-level jnp array would be a captured constant
+NEG = -(1 << 28)
 
 
 class SWParams(NamedTuple):

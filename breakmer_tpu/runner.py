@@ -30,7 +30,7 @@ from breakmer_tpu.config import Config
 from breakmer_tpu.encode import ReadBatch, encode_seq
 from breakmer_tpu.io.bed import TargetRegion, read_targets_bed
 from breakmer_tpu.io.fasta import FastaIndex, read_fasta
-from breakmer_tpu.io.sam import read_sam
+from breakmer_tpu.io.bam import read_alignments
 from breakmer_tpu.pipeline import RegionResult, TargetPipeline
 from breakmer_tpu.report import event_row, write_svs_rows
 from breakmer_tpu.utils.logging import get_logger, setup_logger
@@ -116,7 +116,7 @@ class Runner:
             return None
         chrom, start, end = target.span(cfg.region_buffer)
         seqs, names = [], []
-        for rec in read_sam(cfg.normal_bam_file, region=(chrom, start, end)):
+        for rec in read_alignments(cfg.normal_bam_file, region=(chrom, start, end)):
             if rec.seq and rec.seq != "*":
                 seqs.append(rec.seq)
                 names.append(rec.qname)
@@ -140,7 +140,7 @@ class Runner:
             t0 = time.time()
             region_ref = self.region_ref(target)
             chrom, start, end = target.span(cfg.region_buffer)
-            records = read_sam(cfg.sample_bam_file, region=(chrom, start, end))
+            records = read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
             pipe = TargetPipeline(
                 cfg,
                 target,

@@ -204,3 +204,32 @@ def test_cli_run(panel, tmp_path, capsys):
 def test_cli_version(capsys):
     assert cli_main(["version"]) == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_e2e_bam_input(panel, tmp_path):
+    """Same panel through the BAM path: convert the SAM fixture to BAM and
+    expect identical calls (config #1's 'bundled test BAM reads')."""
+    work, cfg, INS = panel
+    from breakmer_tpu.io.bam import write_bam
+    from breakmer_tpu.io.fasta import read_fasta
+    from breakmer_tpu.io.sam import parse_sam_line
+
+    genome = read_fasta(cfg.reference_fasta)
+    refs = [(name, len(seq)) for name, seq in genome.items()]
+    records = []
+    with open(cfg.sample_bam_file) as fh:
+        for line in fh:
+            if not line.startswith("@"):
+                records.append(parse_sam_line(line))
+    bam_path = tmp_path / "sample.bam"
+    write_bam(bam_path, refs, records)
+
+    cfg2 = Config(**{**cfg.__dict__,
+                     "sample_bam_file": str(bam_path),
+                     "analysis_dir": str(tmp_path / "analysis_bam")})
+    runner = Runner(cfg2)
+    runner.setup()
+    events = runner.run()
+    sam_out = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
+    bam_out = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
+    assert bam_out == sam_out  # bit-identical calls through either ingest
