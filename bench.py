@@ -31,15 +31,25 @@ ITERS = 10
 
 
 def _time_sw(fn, q, t) -> float:
+    """Amortized per-batch seconds. IMPORTANT: the axon TPU relay's
+    block_until_ready returns before device completion; only a
+    device->host fetch forces real completion, so timing brackets a
+    fetch and subtracts the per-call overhead via two run lengths."""
     import jax
 
-    out = fn(q, t)  # warmup/compile
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+    def run(iters: int) -> float:
         out = fn(q, t)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS
+        np.asarray(out[0])  # warmup + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(q, t)
+        np.asarray(out[0])  # force completion
+        return time.perf_counter() - t0
+
+    short, long = ITERS, ITERS * 4
+    t_short = run(short)
+    t_long = run(long)
+    return max((t_long - t_short) / (long - short), 1e-9)
 
 
 def bench_sw(device) -> dict:
@@ -93,13 +103,19 @@ def bench_region_step(device) -> dict:
     )
     inputs = tuple(jax.device_put(x, device) for x in inputs)
     step = make_region_step(mesh=None, k=15)
-    out = step(*inputs)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+
+    def run(iters: int) -> float:
         out = step(*inputs)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+        np.asarray(out[2])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(*inputs)
+        np.asarray(out[2])  # fetch forces completion (axon relay)
+        return time.perf_counter() - t0
+
+    t_short = run(ITERS)
+    t_long = run(ITERS * 4)
+    dt = max((t_long - t_short) / (ITERS * 3), 1e-9)
     return {
         "regions_per_s": G / dt,
         "reads_per_s": G * R / dt,

@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(preset_p)
 
     sub.add_parser("version", help="print version")
+    sub.add_parser(
+        "check",
+        help="environment self-check (reference: utils.py tool self-tests)",
+    )
     return p
 
 
@@ -64,11 +68,56 @@ def load_config(args: argparse.Namespace) -> Config:
     return Config.from_file(args.config, **overrides)
 
 
+def run_check() -> int:
+    """Startup self-checks. The reference probes its external binaries
+    (utils.py test_jellyfish/test_cutadapt, SURVEY.md §2 #20); here the
+    dependencies are the JAX backend, the Pallas lowering path, and the
+    optional native IO library."""
+    import jax
+
+    from breakmer_tpu import native
+    from breakmer_tpu.device import configure
+
+    failures = 0
+    platform = configure("auto")
+    print(f"jax {jax.__version__}; backend: {platform}; "
+          f"devices: {[str(d) for d in jax.devices()]}")
+    try:
+        import jax.numpy as jnp
+
+        from breakmer_tpu.ops.kmer import kmer_codes
+
+        km, _ = kmer_codes(jnp.zeros((2, 20), jnp.int8),
+                           jnp.full((2,), 20, jnp.int32), 15)
+        km.block_until_ready()
+        print("kmer engine: OK")
+    except Exception as exc:
+        failures += 1
+        print(f"kmer engine: FAIL ({exc})")
+    try:
+        import numpy as np
+
+        from breakmer_tpu.ops.sw import sw_score_batch
+
+        s, _, _ = sw_score_batch(
+            np.zeros((8, 128), np.int8), np.zeros((8, 128), np.int8)
+        )
+        print(f"SW engine ({'pallas' if platform == 'tpu' else 'xla'}): OK")
+    except Exception as exc:
+        failures += 1
+        print(f"SW engine: FAIL ({exc})")
+    print(f"native IO library: {'OK' if native.available() else 'not built (pure-python fallbacks active)'}")
+    print("self-check:", "PASS" if failures == 0 else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "version":
         print(__version__)
         return 0
+    if args.command == "check":
+        return run_check()
     cfg = load_config(args)
     runner = Runner(cfg)
     runner.setup()

@@ -37,9 +37,15 @@ BGZF_EOF = bytes.fromhex(
 
 
 def _bgzf_decompress(path: str | Path) -> bytes:
-    """BGZF is a series of gzip members; gzip.open handles the stream."""
-    with gzip.open(path, "rb") as fh:
-        return fh.read()
+    """BGZF is a series of gzip members. Native zlib path when the C++
+    runtime is built (native/breakmer_native.cc); gzip module fallback."""
+    raw = Path(path).read_bytes()
+    from breakmer_tpu import native
+
+    out = native.bgzf_inflate(raw)
+    if out is not None:
+        return out
+    return gzip.decompress(raw)
 
 
 def _bgzf_compress(data: bytes, level: int = 6) -> bytes:

@@ -15,6 +15,24 @@ from breakmer_tpu.encode import ReadBatch
 
 
 def read_fastq(path: str | Path) -> ReadBatch:
+    # native C++ parse+encode when built (native/breakmer_native.cc);
+    # byte-identical to the Python path (tests/test_native.py)
+    from breakmer_tpu import native
+
+    data = Path(path).read_bytes()
+    out = native.fastq_decode(data)
+    if out is not None and out.get("n"):
+        names = [
+            bytes(row).split(b"\x00")[0].decode() for row in out["names"]
+        ]
+        return ReadBatch(
+            codes=out["codes"], lengths=out["lengths"], names=names,
+            quals=out["quals"],
+        )
+    return _read_fastq_py(path)
+
+
+def _read_fastq_py(path: str | Path) -> ReadBatch:
     names: List[str] = []
     seqs: List[str] = []
     quals: List[List[int]] = []

@@ -1,0 +1,185 @@
+"""ctypes bindings for the native IO runtime (native/breakmer_native.cc).
+
+Auto-builds via ``make`` on first import if the shared library is missing
+and a toolchain exists; every entry point degrades to None when the
+library is unavailable so all callers keep a pure-Python fallback
+(io/bam.py, io/fastq.py). pybind11 is not in the image; the ABI is plain
+C consumed with ctypes (SURVEY.md §7 environment notes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_SO = _NATIVE_DIR / "libbreakmer_native.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _SO.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                capture_output=True, timeout=120, check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    u64 = ctypes.c_uint64
+    u64p = ctypes.POINTER(u64)
+    vp = ctypes.c_void_p
+    lib.nat_bgzf_inflate.restype = ctypes.c_int
+    lib.nat_bgzf_inflate.argtypes = [
+        ctypes.c_char_p, u64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), u64p,
+    ]
+    lib.nat_free.argtypes = [vp]
+    lib.nat_bam_count.restype = ctypes.c_int
+    lib.nat_bam_count.argtypes = [ctypes.c_char_p, u64, u64, u64p, u64p, u64p, u64p]
+    lib.nat_bam_decode.restype = ctypes.c_int
+    lib.nat_bam_decode.argtypes = (
+        [ctypes.c_char_p, u64, u64] + [vp] * 16 + [u64] * 4
+    )
+    lib.nat_fastq_count.restype = ctypes.c_int
+    lib.nat_fastq_count.argtypes = [ctypes.c_char_p, u64, u64p, u64p, u64p]
+    lib.nat_fastq_decode.restype = ctypes.c_int
+    lib.nat_fastq_decode.argtypes = [ctypes.c_char_p, u64] + [vp] * 4 + [u64] * 3
+    lib.nat_pack_2bit.restype = ctypes.c_int
+    lib.nat_pack_2bit.argtypes = [vp, u64, vp]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def bgzf_inflate(data: bytes) -> Optional[bytes]:
+    """Inflate a BGZF/multi-member gzip stream natively; None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_uint64()
+    rc = lib.nat_bgzf_inflate(data, len(data), ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.nat_free(out)
+
+
+def bam_decode_columns(data: bytes, align_off: int) -> Optional[Dict[str, np.ndarray]]:
+    """Decode the BAM alignment section into columnar arrays.
+
+    Returns dict with: refid, pos, mapq, flag, next_refid, next_pos, tlen,
+    lseq, n_cigar, clip_left, clip_right, ref_span (all [n] int32),
+    seq_codes/quals ([n, max_seq] int8), names ([n] bytes view), and
+    cigar_ops ([n, max_cigar] uint32 raw). None if native unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = ctypes.c_uint64()
+    mname = ctypes.c_uint64()
+    mseq = ctypes.c_uint64()
+    mcig = ctypes.c_uint64()
+    rc = lib.nat_bam_count(
+        data, len(data), align_off,
+        ctypes.byref(n), ctypes.byref(mname), ctypes.byref(mseq), ctypes.byref(mcig),
+    )
+    if rc != 0:
+        return None
+    N, MN, MS, MC = n.value, mname.value, mseq.value, mcig.value
+    if N == 0:
+        return {"n": 0}
+    cols = {
+        name: np.zeros(N, dtype=np.int32)
+        for name in (
+            "refid", "pos", "mapq", "flag", "next_refid", "next_pos",
+            "tlen", "lseq", "n_cigar", "clip_left", "clip_right", "ref_span",
+        )
+    }
+    seq_codes = np.zeros((N, MS), dtype=np.int8)
+    quals = np.zeros((N, MS), dtype=np.int8)
+    names = np.zeros((N, MN), dtype=np.uint8)
+    cigar_ops = np.zeros((N, MC), dtype=np.uint32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.nat_bam_decode(
+        data, len(data), align_off,
+        p(cols["refid"]), p(cols["pos"]), p(cols["mapq"]), p(cols["flag"]),
+        p(cols["next_refid"]), p(cols["next_pos"]), p(cols["tlen"]),
+        p(cols["lseq"]), p(cols["n_cigar"]),
+        p(cols["clip_left"]), p(cols["clip_right"]), p(cols["ref_span"]),
+        p(seq_codes), p(quals), p(names), p(cigar_ops),
+        N, MN, MS, MC,
+    )
+    if rc != 0:
+        return None
+    cols.update(
+        n=N, seq_codes=seq_codes, quals=quals, names=names,
+        cigar_ops=cigar_ops, max_seq=MS, max_name=MN, max_cigar=MC,
+    )
+    return cols
+
+
+def fastq_decode(data: bytes) -> Optional[Dict[str, np.ndarray]]:
+    """Parse+encode a FASTQ byte buffer natively into packed arrays."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = ctypes.c_uint64()
+    ml = ctypes.c_uint64()
+    mn = ctypes.c_uint64()
+    if lib.nat_fastq_count(data, len(data), ctypes.byref(n), ctypes.byref(ml), ctypes.byref(mn)) != 0:
+        return None
+    N, ML, MN = n.value, ml.value, mn.value
+    if N == 0:
+        return {"n": 0}
+    codes = np.zeros((N, ML), dtype=np.int8)
+    quals = np.zeros((N, ML), dtype=np.int8)
+    lengths = np.zeros(N, dtype=np.int32)
+    names = np.zeros((N, MN), dtype=np.uint8)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.nat_fastq_decode(data, len(data), p(codes), p(quals), p(lengths),
+                              p(names), N, ML, MN)
+    if rc != 0:
+        return None
+    return {"n": N, "codes": codes, "quals": quals, "lengths": lengths,
+            "names": names, "max_len": ML, "max_name": MN}
+
+
+def pack_2bit(codes: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    out = np.zeros((len(codes) + 15) // 16, dtype=np.uint32)
+    lib.nat_pack_2bit(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

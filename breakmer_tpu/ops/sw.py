@@ -134,9 +134,23 @@ def sw_score(
     )
 
 
+def sw_score_auto(
+    q: jax.Array, t: jax.Array, params: SWParams = SWParams()
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Backend-dispatching SW: the hand-tiled Pallas wavefront kernel on
+    TPU (~2x the XLA scan), the XLA scan elsewhere (Pallas interpret mode
+    would be far slower on CPU). Identical results either way — the two
+    are tested for exact agreement."""
+    if jax.default_backend() == "tpu":
+        from breakmer_tpu.ops.sw_pallas import sw_score_pallas
+
+        return sw_score_pallas(q, t, params)
+    return sw_score(q, t, params)
+
+
 def sw_score_batch(q, t, params: SWParams = SWParams()):
     """Convenience: accepts numpy arrays, returns numpy (host driver use)."""
     import numpy as np
 
-    s, qi, tj = sw_score(jnp.asarray(q), jnp.asarray(t), params)
+    s, qi, tj = sw_score_auto(jnp.asarray(q), jnp.asarray(t), params)
     return np.asarray(s), np.asarray(qi), np.asarray(tj)

@@ -32,71 +32,81 @@ from jax.experimental.pallas import tpu as pltpu
 
 from breakmer_tpu.ops.sw import NEG, SWParams
 
-BB = 8  # pairs per program (sublane dimension)
+def _pick_bb(b: int) -> int:
+    """Pairs per program: large blocks amortize per-op issue cost (more
+    vregs touched per VPU instruction); small batches keep BB=8 to avoid
+    padding waste."""
+    return 64 if b >= 48 else 8
 
 
-def _shift_right(x: jax.Array, col: jax.Array, fill) -> jax.Array:
-    """new[:, i] = old[:, i-1]; new[:, 0] = fill (col is the lane iota)."""
+def _shift_right(x: jax.Array, is0: jax.Array, fill) -> jax.Array:
+    """new[:, i] = old[:, i-1]; new[:, 0] = fill (is0 = lane-0 mask)."""
     rolled = pltpu.roll(x, 1, 1)
-    return jnp.where(col == 0, fill, rolled)
+    return jnp.where(is0, fill, rolled)
 
 
 def _sw_kernel(
     q_ref, t_ref, score_ref, qend_ref, tend_ref,
     hd1, hd2, ed1, fd1, key, tj, trot,
-    *, Lq: int, Lt: int, params: SWParams, dpad_log2: int,
+    *, bb: int, Lq: int, Lt: int, params: SWParams, dpad_log2: int,
 ):
     DPAD = 1 << dpad_log2
     go = params.gap_open + params.gap_extend
     ge = params.gap_extend
-    col = jax.lax.broadcasted_iota(jnp.int32, (BB, Lq), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bb, Lq), 1)
+    is0 = col == 0
 
     qv = q_ref[:]
-    hd1[:] = jnp.zeros((BB, Lq), jnp.int32)
-    hd2[:] = jnp.zeros((BB, Lq), jnp.int32)
-    ed1[:] = jnp.full((BB, Lq), NEG, jnp.int32)
-    fd1[:] = jnp.full((BB, Lq), NEG, jnp.int32)
-    key[:] = jnp.zeros((BB, Lq), jnp.int32)
+    # substitution profile is fixed per cell EXCEPT the target base, which
+    # streams through; precompute the query-invalid mask once
+    q_bad = qv >= 4
+    hd1[:] = jnp.zeros((bb, Lq), jnp.int32)
+    hd2[:] = jnp.zeros((bb, Lq), jnp.int32)
+    ed1[:] = jnp.full((bb, Lq), NEG, jnp.int32)
+    fd1[:] = jnp.full((bb, Lq), NEG, jnp.int32)
+    key[:] = jnp.zeros((bb, Lq), jnp.int32)
     # diagonal 0 target stream: t[0-i] -> only i=0 is a real base
-    tj[:] = jnp.where(col == 0, t_ref[:, 0:1], 4)
+    tj[:] = jnp.where(is0, t_ref[:, 0:1], 4)
     # rotating target buffer: column 0 always holds the NEXT base to feed
     # into the stream (t[:, d+1] at step d) — static slices + rolls only;
     # TPU Pallas cannot lower per-step dynamic lane loads
     trot[:] = pltpu.roll(t_ref[:], Lt - 1, 1)  # rotate left by 1
 
+    # NOTE on bounds: cells with j >= Lt or j < 0 need no explicit mask.
+    # The streamed target is the pad code (4) there, so sub = NEG kills
+    # the match path, and any H reachable through E/F chains is strictly
+    # smaller than its in-bounds ancestor (every gap step subtracts
+    # >= gap_extend > 0), so such cells can never win the running max.
+    # Only the j == 0 boundary needs masking (no j = -1 column exists).
     def step(d, _):
-        j_idx = d - col
-        in_bounds = (j_idx >= 0) & (j_idx < Lt)
+        isj0 = col == d  # j_idx == 0
         tj_cur = tj[:]
         sub = jnp.where(
-            (qv >= 4) | (tj_cur >= 4),
+            q_bad | (tj_cur >= 4),
             NEG,
             jnp.where(qv == tj_cur, params.match, -params.mismatch),
         )
         h1 = hd1[:]
         e_new = jnp.maximum(h1 - go, ed1[:] - ge)
-        e_new = jnp.where(j_idx == 0, NEG, e_new)
+        e_new = jnp.where(isj0, NEG, e_new)
         f_new = jnp.maximum(
-            _shift_right(h1, col, NEG) - go,
-            _shift_right(fd1[:], col, NEG) - ge,
+            _shift_right(h1, is0, NEG) - go,
+            _shift_right(fd1[:], is0, NEG) - ge,
         )
-        h_diag = _shift_right(hd2[:], col, 0)
-        h_diag = jnp.where(j_idx == 0, 0, h_diag)
+        h_diag = _shift_right(hd2[:], is0, 0)
+        h_diag = jnp.where(isj0, 0, h_diag)
         h_new = jnp.maximum(
             jnp.maximum(h_diag + sub, 0), jnp.maximum(e_new, f_new)
         )
-        h_new = jnp.where(in_bounds, h_new, 0)
-        e_new = jnp.where(in_bounds, e_new, NEG)
-        f_new = jnp.where(in_bounds, f_new, NEG)
         # branch-free best tracking: larger H wins; ties keep earlier d
-        key[:] = jnp.maximum(key[:], h_new * DPAD + (DPAD - 1 - d))
+        key[:] = jnp.maximum(key[:], (h_new << dpad_log2) + (DPAD - 1 - d))
         hd2[:] = h1
         hd1[:] = h_new
         ed1[:] = e_new
         fd1[:] = f_new
         # advance the target stream: tj_{d+1}[i] = tj_d[i-1], new = t[d+1]
         fill = jnp.where(d + 1 < Lt, trot[:, 0:1], 4)
-        tj[:] = _shift_right(tj_cur, col, fill)
+        tj[:] = _shift_right(tj_cur, is0, fill)
         trot[:] = pltpu.roll(trot[:], Lt - 1, 1)
         return 0
 
@@ -105,8 +115,9 @@ def _sw_kernel(
     keys = key[:]
     row_max = jnp.max(keys, axis=1, keepdims=True)              # [BB, 1]
     # argmax is float-only in Mosaic; min-index-of-max via masked min
+    col_out = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
     i_star = jnp.min(
-        jnp.where(keys == row_max, col, Lq), axis=1, keepdims=True
+        jnp.where(keys == row_max, col_out, Lq), axis=1, keepdims=True
     )
     score = row_max >> dpad_log2
     d_star = (DPAD - 1) - (row_max & (DPAD - 1))
@@ -134,13 +145,14 @@ def sw_score_pallas(
     if params.match * min(Lq, Lt) >= (1 << (31 - dpad_log2)):
         raise ValueError("score range overflows int32 key packing")
 
+    BB = _pick_bb(B)
     Bp = ((B + BB - 1) // BB) * BB
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0)), constant_values=4)
         t = jnp.pad(t, ((0, Bp - B), (0, 0)), constant_values=4)
 
     kernel = functools.partial(
-        _sw_kernel, Lq=Lq, Lt=Lt, params=params, dpad_log2=dpad_log2
+        _sw_kernel, bb=BB, Lq=Lq, Lt=Lt, params=params, dpad_log2=dpad_log2
     )
     grid = (Bp // BB,)
     score, qend, tend = pl.pallas_call(

@@ -30,7 +30,7 @@ from breakmer_tpu.ops.kmer import (
     SENTINEL, kmer_codes, revcomp_kmers, sort_kmers, subtract_sorted,
     unique_counts_sorted,
 )
-from breakmer_tpu.ops.sw import SWParams, sw_score
+from breakmer_tpu.ops.sw import SWParams, sw_score, sw_score_auto
 from breakmer_tpu.parallel.mesh import AXIS_PAIRS, AXIS_REGIONS
 
 
@@ -69,7 +69,7 @@ def make_region_step(
         values, counts = jax.vmap(
             functools.partial(_per_region_kmers, k=k, min_count=min_count)
         )(reads, lengths, refs, ref_lengths)
-        sw = functools.partial(sw_score, params=params)
+        sw = functools.partial(sw_score_auto, params=params)
         scores, q_end, t_end = jax.vmap(sw)(q, t)
         if mesh is not None:
             # merge collectives: pairs-axis gather completes each region's

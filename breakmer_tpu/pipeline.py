@@ -73,7 +73,9 @@ class TargetPipeline:
         self.kmer_counts: Optional[np.ndarray] = None
 
     # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
-    def find_sv_reads(self, records: Iterable[SamRecord]) -> bool:
+    def extract_and_clean(self, records: Iterable[SamRecord]) -> bool:
+        """Extraction + cleaning only (the batched runner computes k-mers
+        for many regions in one device launch; see parallel/kmer_batch)."""
         cfg = self.cfg
         chrom, start, end = self.target.span(cfg.region_buffer)
         self.extract_result = extract_sv_reads(records, (chrom, start, end), cfg)
@@ -81,7 +83,16 @@ class TargetPipeline:
         if len(batch) == 0:
             return False
         self.clean_batch = clean_reads(batch)
-        if len(self.clean_batch) == 0:
+        return len(self.clean_batch) > 0
+
+    def set_kmers(self, values: np.ndarray, counts: np.ndarray) -> None:
+        """Inject precomputed sample-only k-mers (batched device path)."""
+        self.kmer_values = values
+        self.kmer_counts = counts
+
+    def find_sv_reads(self, records: Iterable[SamRecord]) -> bool:
+        cfg = self.cfg
+        if not self.extract_and_clean(records):
             return False
         normal = self.normal_batch
         self.kmer_values, self.kmer_counts = sample_only_kmers(

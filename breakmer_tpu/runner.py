@@ -127,6 +127,12 @@ class Runner:
         cfg = self.cfg
         if not self.targets:
             self.setup()
+        if cfg.batch_regions and not cfg.normal_bam_file:
+            return self._run_batched(resume)
+        return self._run_serial(resume)
+
+    def _run_serial(self, resume: bool) -> List[SVEvent]:
+        cfg = self.cfg
         ledger = self._load_ledger() if resume else {}
         all_events: List[SVEvent] = []
         t_start = time.time()
@@ -167,6 +173,77 @@ class Runner:
                 "elapsed_s": round(time.time() - t0, 3),
             }
             self._save_ledger(ledger)
+        return self._finalize(ledger, all_events, t_start)
+
+    def _run_batched(self, resume: bool) -> List[SVEvent]:
+        """Config #3 path: the whole panel's k-mer stage in packed
+        multi-region device launches (parallel/kmer_batch), then per-region
+        assemble/realign/call. Regions with a matched normal fall back to
+        the serial path (normal subtraction is not batched)."""
+        from breakmer_tpu.parallel.kmer_batch import run_kmer_batch
+        from breakmer_tpu.parallel.regions import pack_region_batches
+
+        cfg = self.cfg
+        ledger = self._load_ledger() if resume else {}
+        all_events: List[SVEvent] = []
+        t_start = time.time()
+
+        # phase A: extract + clean every region (host, streaming)
+        pipes: Dict[str, TargetPipeline] = {}
+        packable = []
+        for name, target in self.targets.items():
+            if name in ledger:
+                log.info("target %s: resumed from ledger", name)
+                continue
+            region_ref = self.region_ref(target)
+            chrom, start, end = target.span(cfg.region_buffer)
+            records = read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
+            pipe = TargetPipeline(
+                cfg, target, region_ref, genome=self.genome, rmask=self.rmask
+            )
+            pipes[name] = pipe
+            if pipe.extract_and_clean(records):
+                packable.append((name, pipe.clean_batch, region_ref.codes))
+
+        # phase B: packed device k-mer launches
+        kmers_by_region: Dict[str, tuple] = {}
+        for batch in pack_region_batches(packable):
+            kmers_by_region.update(
+                run_kmer_batch(batch, cfg.kmer_size, cfg.min_kmer_count)
+            )
+
+        # phase C: per-region resolve (assemble -> realign -> call)
+        for name, pipe in pipes.items():
+            t0 = time.time()
+            if name in kmers_by_region:
+                pipe.set_kmers(*kmers_by_region[name])
+            try:
+                result = pipe.resolve_sv()
+            except Exception as exc:  # region-level fault isolation
+                log.exception("target %s failed", name)
+                result = RegionResult(
+                    target=pipe.target, events=[], all_events=[], contigs=[],
+                    error=f"{type(exc).__name__}: {exc}",
+                )
+            self.results.append(result)
+            all_events.extend(result.events)
+            log.info(
+                "target %s [batched]: %d sv reads, %d kmers, %d contigs, "
+                "%d calls in %.2fs%s",
+                name, result.n_sv_reads, result.n_sample_kmers,
+                len(result.contigs), len(result.events), time.time() - t0,
+                f" ERROR={result.error}" if result.error else "",
+            )
+            ledger[name] = {
+                "rows": [event_row(ev) for ev in result.events],
+                "error": result.error,
+                "elapsed_s": round(time.time() - t0, 3),
+            }
+            self._save_ledger(ledger)
+        return self._finalize(ledger, all_events, t_start)
+
+    def _finalize(self, ledger, all_events, t_start) -> List[SVEvent]:
+        cfg = self.cfg
         # aggregate from the ledger so resumed targets keep their calls
         all_rows = [
             row for name in self.targets for row in ledger.get(name, {}).get("rows", [])

@@ -1,0 +1,309 @@
+// breakmer_native — native IO runtime for breakmer_tpu.
+//
+// The reference offloads all heavy lifting to external C/C++ binaries
+// (jellyfish, blat, samtools — SURVEY.md §2a). In this framework the
+// device owns the compute; the native layer owns the IO hot path that
+// Python is too slow for at production scale:
+//   * BGZF (multi-member gzip) inflation via zlib
+//   * BAM alignment-section decode straight into columnar numpy buffers,
+//     with sequences emitted as 2-bit-ready base codes (A,C,G,T -> 0..3,
+//     N/other -> 4) so no Python string round-trip ever happens
+//   * FASTQ parse + encode into the same packed representation
+//
+// Exposed as a plain C ABI consumed with ctypes (no pybind11 in the
+// image). All buffers are caller-allocated numpy arrays except the
+// inflate output, which is malloc'd here and released with nat_free.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BGZF
+// ---------------------------------------------------------------------------
+
+// Inflate a BGZF/multi-member-gzip stream. *out is malloc'd; caller frees
+// with nat_free. Returns 0 on success.
+int nat_bgzf_inflate(const uint8_t* in, uint64_t in_len,
+                     uint8_t** out, uint64_t* out_len) {
+  std::vector<uint8_t> buf;
+  buf.reserve(in_len * 4);
+  z_stream zs;
+  uint64_t off = 0;
+  uint8_t chunk[1 << 16];
+  while (off < in_len) {
+    std::memset(&zs, 0, sizeof(zs));
+    // 15+16: gzip header parsing
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return -1;
+    zs.next_in = const_cast<uint8_t*>(in + off);
+    zs.avail_in = static_cast<uInt>(in_len - off);
+    int ret = Z_OK;
+    while (ret != Z_STREAM_END) {
+      zs.next_out = chunk;
+      zs.avail_out = sizeof(chunk);
+      ret = inflate(&zs, Z_NO_FLUSH);
+      if (ret != Z_OK && ret != Z_STREAM_END) {
+        inflateEnd(&zs);
+        return -2;
+      }
+      buf.insert(buf.end(), chunk, chunk + (sizeof(chunk) - zs.avail_out));
+    }
+    off += zs.total_in;
+    inflateEnd(&zs);
+  }
+  *out = static_cast<uint8_t*>(std::malloc(buf.size() ? buf.size() : 1));
+  if (!*out) return -3;
+  std::memcpy(*out, buf.data(), buf.size());
+  *out_len = buf.size();
+  return 0;
+}
+
+void nat_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// BAM decode
+// ---------------------------------------------------------------------------
+
+static const int8_t kNibbleCode[16] = {
+    // BAM 4-bit: 0='=',1=A,2=C,4=G,8=T,15=N; everything ambiguous -> 4
+    4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4};
+
+static const char kCigarOp[9] = {'M', 'I', 'D', 'N', 'S', 'H', 'P', '=', 'X'};
+
+// Pass 1: count records and maxima so Python can allocate columns.
+// data/len: INFLATED BAM bytes; align_off: offset of first alignment.
+int nat_bam_count(const uint8_t* data, uint64_t len, uint64_t align_off,
+                  uint64_t* n, uint64_t* max_name, uint64_t* max_seq,
+                  uint64_t* max_cigar) {
+  uint64_t off = align_off, cnt = 0, mn = 1, ms = 1, mc = 1;
+  while (off + 4 <= len) {
+    uint32_t block;
+    std::memcpy(&block, data + off, 4);
+    if (off + 4 + block > len) break;
+    const uint8_t* r = data + off + 4;
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 12, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 16, 4);
+    if (l_read_name > mn) mn = l_read_name;
+    if ((uint64_t)l_seq > ms) ms = l_seq;
+    if (n_cigar > mc) mc = n_cigar;
+    cnt++;
+    off += 4 + block;
+  }
+  *n = cnt;
+  *max_name = mn;
+  *max_seq = ms;
+  *max_cigar = mc;
+  return 0;
+}
+
+// Pass 2: decode every record into caller-allocated columns.
+//   seq_codes [n, max_seq] int8 (pad 4), quals [n, max_seq] int8 (pad -1)
+//   names     [n, max_name] char (NUL padded)
+//   cigar_ops [n, max_cigar] uint32 raw BAM encoding (len<<4|op)
+// Soft-clip lengths and reference span are precomputed so Python's
+// extractor does no per-record CIGAR walk.
+int nat_bam_decode(const uint8_t* data, uint64_t len, uint64_t align_off,
+                   int32_t* refid, int32_t* pos, int32_t* mapq, int32_t* flag,
+                   int32_t* next_refid, int32_t* next_pos, int32_t* tlen,
+                   int32_t* lseq, int32_t* n_cigar_out,
+                   int32_t* clip_left, int32_t* clip_right, int32_t* ref_span,
+                   int8_t* seq_codes, int8_t* quals, char* names,
+                   uint32_t* cigar_ops,
+                   uint64_t n, uint64_t max_name, uint64_t max_seq,
+                   uint64_t max_cigar) {
+  uint64_t off = align_off, i = 0;
+  while (off + 4 <= len && i < n) {
+    uint32_t block;
+    std::memcpy(&block, data + off, 4);
+    if (off + 4 + block > len) break;
+    const uint8_t* r = data + off + 4;
+    int32_t rid, p, nrid, np, tl, ls;
+    std::memcpy(&rid, r, 4);
+    std::memcpy(&p, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mq = r[9];
+    uint16_t nc;
+    std::memcpy(&nc, r + 12, 2);
+    uint16_t fl;
+    std::memcpy(&fl, r + 14, 2);
+    std::memcpy(&ls, r + 16, 4);
+    std::memcpy(&nrid, r + 20, 4);
+    std::memcpy(&np, r + 24, 4);
+    std::memcpy(&tl, r + 28, 4);
+    refid[i] = rid;
+    pos[i] = p;
+    mapq[i] = mq;
+    flag[i] = fl;
+    next_refid[i] = nrid;
+    next_pos[i] = np;
+    tlen[i] = tl;
+    lseq[i] = ls;
+    n_cigar_out[i] = nc;
+
+    const uint8_t* q = r + 32;
+    uint64_t name_n = l_read_name < max_name ? l_read_name : max_name;
+    std::memcpy(names + i * max_name, q, name_n);  // includes NUL
+    q += l_read_name;
+
+    int32_t cl = 0, cr = 0, span = 0;
+    for (uint16_t c = 0; c < nc; c++) {
+      uint32_t v;
+      std::memcpy(&v, q + 4 * c, 4);
+      cigar_ops[i * max_cigar + c] = v;
+      uint32_t opl = v >> 4;
+      char op = kCigarOp[v & 0xF];
+      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+        span += opl;
+      if (op == 'S') {
+        if (c == 0)
+          cl = opl;
+        else if (c == nc - 1)
+          cr = opl;
+      }
+    }
+    clip_left[i] = cl;
+    clip_right[i] = cr;
+    ref_span[i] = span;
+    q += 4ull * nc;
+
+    int8_t* sc = seq_codes + i * max_seq;
+    for (int32_t b = 0; b < ls; b++) {
+      uint8_t byte = q[b >> 1];
+      uint8_t nib = (b & 1) ? (byte & 0xF) : (byte >> 4);
+      sc[b] = kNibbleCode[nib];
+    }
+    for (uint64_t b = ls; b < max_seq; b++) sc[b] = 4;
+    q += (ls + 1) / 2;
+
+    int8_t* qu = quals + i * max_seq;
+    if (ls > 0 && q[0] == 0xFF) {
+      for (int32_t b = 0; b < ls; b++) qu[b] = 40;  // missing -> sentinel
+    } else {
+      for (int32_t b = 0; b < ls; b++) qu[b] = (int8_t)q[b];
+    }
+    for (uint64_t b = ls; b < max_seq; b++) qu[b] = -1;
+
+    off += 4 + block;
+    i++;
+  }
+  return (int)(i == n ? 0 : -1);
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ parse + encode
+// ---------------------------------------------------------------------------
+
+static const int8_t kAsciiCode[256] = {
+    /* initialized at first use */};
+
+static int8_t ascii_code(uint8_t c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+// Pass 1: count reads + max read length / name length.
+int nat_fastq_count(const uint8_t* data, uint64_t len, uint64_t* n,
+                    uint64_t* max_len, uint64_t* max_name) {
+  uint64_t i = 0, cnt = 0, ml = 1, mn = 1;
+  while (i < len) {
+    // @name line
+    uint64_t ns = i + 1, ne = ns;
+    while (ne < len && data[ne] != '\n' && data[ne] != ' ' && data[ne] != '\t')
+      ne++;
+    uint64_t le = ne;
+    while (le < len && data[le] != '\n') le++;
+    // seq line
+    uint64_t ss = le + 1, se = ss;
+    while (se < len && data[se] != '\n') se++;
+    // '+' line
+    uint64_t ps = se + 1;
+    while (ps < len && data[ps] != '\n') ps++;
+    // qual line
+    uint64_t qs = ps + 1, qe = qs;
+    while (qe < len && data[qe] != '\n') qe++;
+    if (ss >= len) break;
+    cnt++;
+    if (se - ss > ml) ml = se - ss;
+    if (ne - ns + 1 > mn) mn = ne - ns + 1;
+    i = qe + 1;
+  }
+  *n = cnt;
+  *max_len = ml;
+  *max_name = mn;
+  return 0;
+}
+
+int nat_fastq_decode(const uint8_t* data, uint64_t len, int8_t* codes,
+                     int8_t* quals, int32_t* lengths, char* names,
+                     uint64_t n, uint64_t max_len, uint64_t max_name) {
+  uint64_t i = 0, r = 0;
+  while (i < len && r < n) {
+    uint64_t ns = i + 1, ne = ns;
+    while (ne < len && data[ne] != '\n' && data[ne] != ' ' && data[ne] != '\t')
+      ne++;
+    uint64_t le = ne;
+    while (le < len && data[le] != '\n') le++;
+    uint64_t ss = le + 1, se = ss;
+    while (se < len && data[se] != '\n') se++;
+    uint64_t ps = se + 1;
+    while (ps < len && data[ps] != '\n') ps++;
+    uint64_t qs = ps + 1, qe = qs;
+    while (qe < len && data[qe] != '\n') qe++;
+    if (ss >= len) break;
+
+    uint64_t name_n = ne - ns;
+    if (name_n >= max_name) name_n = max_name - 1;
+    std::memcpy(names + r * max_name, data + ns, name_n);
+    names[r * max_name + name_n] = 0;
+
+    uint64_t L = se - ss;
+    if (L > max_len) L = max_len;
+    lengths[r] = (int32_t)L;
+    int8_t* c = codes + r * max_len;
+    int8_t* ql = quals + r * max_len;
+    for (uint64_t b = 0; b < L; b++) {
+      c[b] = ascii_code(data[ss + b]);
+      ql[b] = (qs + b < qe) ? (int8_t)(data[qs + b] - 33) : 40;
+    }
+    for (uint64_t b = L; b < max_len; b++) {
+      c[b] = 4;
+      ql[b] = -1;
+    }
+    i = qe + 1;
+    r++;
+  }
+  return (int)(r == n ? 0 : -1);
+}
+
+// ---------------------------------------------------------------------------
+// 2-bit packing (faToTwoBit replacement backend)
+// ---------------------------------------------------------------------------
+
+int nat_pack_2bit(const int8_t* codes, uint64_t n, uint32_t* out) {
+  uint64_t words = (n + 15) / 16;
+  for (uint64_t w = 0; w < words; w++) {
+    uint32_t acc = 0;
+    uint64_t base = w * 16;
+    uint64_t lim = base + 16 < n ? base + 16 : n;
+    for (uint64_t b = base; b < lim; b++) {
+      int8_t c = codes[b];
+      acc |= ((uint32_t)(c >= 4 ? 0 : c)) << (2 * (b - base));
+    }
+    out[w] = acc;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,97 @@
+"""Native IO runtime vs pure-Python implementations (skip when the
+toolchain/library is unavailable — callers always have fallbacks)."""
+
+import numpy as np
+import pytest
+
+from breakmer_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+def test_bgzf_inflate_matches_gzip():
+    import gzip
+
+    from breakmer_tpu.io.bam import _bgzf_compress
+
+    payload = b"The quick brown fox " * 5000
+    blob = _bgzf_compress(payload)
+    assert native.bgzf_inflate(blob) == payload == gzip.decompress(blob)
+
+
+def test_bam_decode_columns_matches_python(tmp_path):
+    from breakmer_tpu.io.bam import BamReader, write_bam
+    from breakmer_tpu.io.sam import SamRecord, parse_cigar
+    from breakmer_tpu.encode import encode_seq
+
+    refs = [("chr1", 100000), ("chr2", 5000)]
+    rng = np.random.default_rng(0)
+    records = []
+    for i in range(50):
+        seq = "".join(rng.choice(list("ACGTN"), 80))
+        cig = f"{40 + i % 20}M{40 - i % 20}S" if i % 3 else "80M"
+        records.append(
+            SamRecord(f"read{i}", int(rng.integers(0, 4096)), "chr1",
+                      int(rng.integers(0, 9000)), 60, parse_cigar(cig),
+                      "chr2" if i % 5 == 0 else "chr1",
+                      int(rng.integers(0, 4000)), int(rng.integers(-500, 500)),
+                      seq, [int(x) for x in rng.integers(2, 41, 80)])
+        )
+    path = tmp_path / "t.bam"
+    write_bam(path, refs, records)
+
+    reader = BamReader(path)
+    cols = native.bam_decode_columns(reader._data, reader._align_off)
+    assert cols is not None and cols["n"] == 50
+    py_records = list(reader)
+    for i, rec in enumerate(py_records):
+        assert cols["pos"][i] == rec.pos
+        assert cols["flag"][i] == rec.flag
+        assert cols["tlen"][i] == rec.tlen
+        assert cols["lseq"][i] == len(rec.seq)
+        assert cols["next_pos"][i] == rec.pnext
+        left, right = rec.soft_clips()
+        assert cols["clip_left"][i] == left
+        assert cols["clip_right"][i] == right
+        assert cols["ref_span"][i] == rec.reference_end() - rec.pos
+        np.testing.assert_array_equal(
+            cols["seq_codes"][i, : len(rec.seq)], encode_seq(rec.seq)
+        )
+        assert list(cols["quals"][i, : len(rec.qual)]) == rec.qual
+        name = bytes(cols["names"][i]).split(b"\x00")[0].decode()
+        assert name == rec.qname
+
+
+def test_fastq_decode_matches_python(tmp_path):
+    from breakmer_tpu.encode import ReadBatch
+    from breakmer_tpu.io.fastq import read_fastq, write_fastq
+
+    rng = np.random.default_rng(1)
+    seqs = ["".join(rng.choice(list("ACGTN"), int(rng.integers(30, 90))))
+            for _ in range(40)]
+    quals = [[int(x) for x in rng.integers(2, 41, len(s))] for s in seqs]
+    batch = ReadBatch.from_seqs(seqs, names=[f"q{i}" for i in range(40)], quals=quals)
+    path = tmp_path / "t.fq"
+    write_fastq(path, batch)
+
+    out = native.fastq_decode(path.read_bytes())
+    assert out is not None and out["n"] == 40
+    py = read_fastq(path)
+    for i in range(40):
+        L = int(out["lengths"][i])
+        assert L == int(py.lengths[i])
+        np.testing.assert_array_equal(out["codes"][i, :L], py.codes[i, :L])
+        np.testing.assert_array_equal(out["quals"][i, :L], py.quals[i, :L])
+        name = bytes(out["names"][i]).split(b"\x00")[0].decode()
+        assert name == py.names[i]
+
+
+def test_pack_2bit_matches_numpy():
+    from breakmer_tpu.encode import pack_2bit as np_pack
+
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 5, 1000).astype(np.int8)
+    nat = native.pack_2bit(codes)
+    np.testing.assert_array_equal(nat, np_pack(codes))

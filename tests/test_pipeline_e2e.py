@@ -206,6 +206,21 @@ def test_cli_version(capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_e2e_batched_regions_identical(panel, tmp_path):
+    """Config #3: the packed multi-region device k-mer path must produce
+    the SAME calls as the serial path."""
+    work, cfg, INS = panel
+    cfg2 = Config(**{**cfg.__dict__,
+                     "batch_regions": True,
+                     "analysis_dir": str(tmp_path / "analysis_batched")})
+    runner = Runner(cfg2)
+    runner.setup()
+    runner.run()
+    serial = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
+    batched = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
+    assert batched == serial
+
+
 def test_e2e_bam_input(panel, tmp_path):
     """Same panel through the BAM path: convert the SAM fixture to BAM and
     expect identical calls (config #1's 'bundled test BAM reads')."""
