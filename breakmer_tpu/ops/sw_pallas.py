@@ -87,12 +87,12 @@ def _sw_kernel(
             jnp.where(qv == tj_cur, params.match, -params.mismatch),
         )
         h1 = hd1[:]
-        e_new = jnp.maximum(h1 - go, ed1[:] - ge)
+        hg = h1 - go
+        e_new = jnp.maximum(hg, ed1[:] - ge)
         e_new = jnp.where(isj0, NEG, e_new)
-        f_new = jnp.maximum(
-            _shift_right(h1, is0, NEG) - go,
-            _shift_right(fd1[:], is0, NEG) - ge,
-        )
+        # shift(max(a,b)) == max(shift(a),shift(b)) with a shared NEG fill:
+        # one roll instead of two
+        f_new = _shift_right(jnp.maximum(hg, fd1[:] - ge), is0, NEG)
         h_diag = _shift_right(hd2[:], is0, 0)
         h_diag = jnp.where(isj0, 0, h_diag)
         h_new = jnp.maximum(
