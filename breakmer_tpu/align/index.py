@@ -139,7 +139,9 @@ class GenomeIndex:
     The in-memory replacement for gfServer+2bit (reference:
     runner.start_blat_server; SURVEY.md §2a). ``candidates`` returns
     windows tagged with chrom; ``fetch_codes`` serves window sequences for
-    SW scoring.
+    SW scoring. ``save``/``load`` persist the packed artifact (2-bit
+    genome + sorted seed arrays) — the formalized equivalent of the
+    reference's cached ``.2bit`` (SURVEY.md §5 checkpoint/resume).
     """
 
     def __init__(self, chrom_seqs: Dict[str, str], k: int = 11):
@@ -150,6 +152,45 @@ class GenomeIndex:
         self._index: Dict[str, SeedIndex] = {
             c: SeedIndex(codes, k) for c, codes in self._codes.items()
         }
+
+    def save(self, path) -> None:
+        from breakmer_tpu.encode import pack_2bit
+
+        arrays = {"__k__": np.array([self.k], dtype=np.int64)}
+        for c, codes in self._codes.items():
+            idx = self._index[c]
+            arrays[f"{c}::packed"] = pack_2bit(codes)
+            arrays[f"{c}::nmask"] = np.packbits(codes >= 4)
+            arrays[f"{c}::len"] = np.array([len(codes)], dtype=np.int64)
+            arrays[f"{c}::seed_codes"] = idx._codes
+            arrays[f"{c}::seed_pos"] = idx._pos
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path) -> "GenomeIndex":
+        from breakmer_tpu.encode import unpack_2bit
+
+        data = np.load(path)
+        self = cls.__new__(cls)
+        self.k = int(data["__k__"][0])
+        self._codes = {}
+        self._index = {}
+        chroms = sorted(
+            {key.split("::")[0] for key in data.files if "::" in key}
+        )
+        for c in chroms:
+            length = int(data[f"{c}::len"][0])
+            codes = unpack_2bit(data[f"{c}::packed"], length)
+            nmask = np.unpackbits(data[f"{c}::nmask"])[:length].astype(bool)
+            codes[nmask] = 4
+            self._codes[c] = codes
+            idx = SeedIndex.__new__(SeedIndex)
+            idx.k = self.k
+            idx.length = length
+            idx._codes = data[f"{c}::seed_codes"]
+            idx._pos = data[f"{c}::seed_pos"]
+            self._index[c] = idx
+        return self
 
     @property
     def chroms(self) -> List[str]:

@@ -36,6 +36,11 @@ class Config:
 
     # --- read extraction (reference: target.extract_bam_reads) ------------
     min_clip_len: int = 3          # min soft-clip length to keep (reconstructed)
+    adapter_3p: Optional[str] = None  # cutadapt -a equivalent
+    adapter_5p: Optional[str] = None  # cutadapt -g equivalent
+    trim_qual: int = 3             # cutadapt -q equivalent
+    min_read_len: int = 25         # drop reads shorter than this after trim
+    min_sv_reads: int = 2          # skip region if fewer SV reads survive
     min_clip_qual: int = 3         # min avg base quality in the clip (reconstructed)
     insert_size_thresh: int = 1000  # |tlen| beyond which a pair is discordant
     region_buffer: int = 200       # bp added on each side of a target region

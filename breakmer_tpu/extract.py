@@ -33,11 +33,14 @@ class ExtractResult:
     batch: ReadBatch              # SV-informative reads (packed)
     disc: DiscordantPairs
     coverage: np.ndarray          # depth over [region_start, region_end)
+    region_chrom: str
     region_start: int
     n_records: int                # records scanned
     n_sv_reads: int
 
     def coverage_at(self, chrom: str, pos: int) -> int:
+        if chrom != self.region_chrom:
+            return 0
         i = pos - self.region_start
         if 0 <= i < len(self.coverage):
             return int(self.coverage[i])
@@ -122,20 +125,41 @@ def extract_sv_reads(
         batch=batch,
         disc=disc,
         coverage=cov,
+        region_chrom=chrom,
         region_start=start,
         n_records=n_records,
         n_sv_reads=len(seqs),
     )
 
 
+def _find_adapter_3p(seq: str, adapter: str, min_overlap: int = 3) -> int:
+    """cutadapt-style 3' adapter location: full adapter anywhere in the
+    read, else a read-suffix == adapter-prefix overlap of >= min_overlap.
+    Returns the cut position, or len(seq) if not found. Exact matching
+    (the reference's cutadapt_config_file typically ran error-free
+    adapters on panel data; error-tolerant matching is a config knob for
+    a later pass)."""
+    pos = seq.find(adapter)
+    if pos != -1:
+        return pos
+    max_ov = min(len(adapter), len(seq))
+    for ov in range(max_ov, min_overlap - 1, -1):
+        if seq.endswith(adapter[:ov]):
+            return len(seq) - ov
+    return len(seq)
+
+
 def clean_reads(
     batch: ReadBatch,
     trim_qual: int = 3,
     min_len: int = 25,
+    adapter_3p: Optional[str] = None,
+    adapter_5p: Optional[str] = None,
 ) -> ReadBatch:
-    """Quality-trim read ends and drop short reads (the cutadapt step,
-    reference: target.clean_reads). Trims the maximal low-quality suffix/
-    prefix using cutadapt's partial-sum algorithm, vectorized per read."""
+    """Quality- and adapter-trim reads, drop short ones (the cutadapt
+    step, reference: target.clean_reads). Quality trimming uses cutadapt's
+    partial-sum algorithm; adapters are removed 3' (suffix-anchored) and
+    5' (prefix-anchored) before the quality pass."""
     if len(batch) == 0 or batch.quals is None:
         return batch
     keep_seqs: List[str] = []
@@ -143,7 +167,21 @@ def clean_reads(
     keep_quals: List[List[int]] = []
     for i in range(len(batch)):
         length = int(batch.lengths[i])
-        q = batch.quals[i, :length].astype(np.int32)
+        if adapter_3p or adapter_5p:
+            seq = batch.seq(i)
+            lo5 = 0
+            if adapter_5p:
+                p = seq.find(adapter_5p)
+                if p != -1 and p <= 3:
+                    lo5 = p + len(adapter_5p)
+            hi3 = _find_adapter_3p(seq, adapter_3p) if adapter_3p else length
+            if hi3 < lo5:
+                continue
+            length = hi3
+            a_lo = lo5
+        else:
+            a_lo = 0
+        q = batch.quals[i, a_lo:length].astype(np.int32)
         # cutadapt algorithm: trim from 3' end where running sum of
         # (trim_qual - q) is maximal
         deltas = trim_qual - q[::-1]
@@ -156,7 +194,7 @@ def clean_reads(
         cut5 = 0
         if sums5.size and sums5.max() > 0:
             cut5 = int(np.argmax(sums5)) + 1
-        lo, hi = cut5, length - cut3
+        lo, hi = a_lo + cut5, length - cut3
         if hi - lo < min_len:
             continue
         keep_seqs.append(batch.seq(i)[lo:hi])

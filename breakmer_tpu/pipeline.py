@@ -82,8 +82,16 @@ class TargetPipeline:
         batch = self.extract_result.batch
         if len(batch) == 0:
             return False
-        self.clean_batch = clean_reads(batch)
-        return len(self.clean_batch) > 0
+        self.clean_batch = clean_reads(
+            batch,
+            trim_qual=cfg.trim_qual,
+            min_len=cfg.min_read_len,
+            adapter_3p=cfg.adapter_3p,
+            adapter_5p=cfg.adapter_5p,
+        )
+        # reference parity: the pipeline continues only with enough
+        # surviving SV reads (target.clean_reads re-checks the count)
+        return len(self.clean_batch) >= cfg.min_sv_reads
 
     def set_kmers(self, values: np.ndarray, counts: np.ndarray) -> None:
         """Inject precomputed sample-only k-mers (batched device path)."""

@@ -47,6 +47,7 @@ class Runner:
         self.genome: Optional[GenomeIndex] = None
         self.rmask: Optional[RepeatMask] = None
         self.results: List[RegionResult] = []
+        self.other_regions: Dict[str, TargetRegion] = {}
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
 
     # -- setup (reference: runner.__init__ + start_blat_server) ------------
@@ -63,14 +64,33 @@ class Runner:
         self.targets = read_targets_bed(cfg.targets_bed_file, gene_list)
         self.fasta = FastaIndex(cfg.reference_fasta)
         if cfg.build_genome_index:
-            # gfServer replacement: in-memory whole-genome seed index
+            # gfServer replacement: in-memory whole-genome seed index,
+            # cached as a packed artifact under reference_data_dir (the
+            # formalized .2bit equivalent; SURVEY.md §5)
             t0 = time.time()
-            self.genome = GenomeIndex(
-                read_fasta(cfg.reference_fasta), cfg.seed_kmer_size
-            )
-            log.info("genome index built in %.1fs", time.time() - t0)
+            cache = None
+            if cfg.reference_data_dir:
+                Path(cfg.reference_data_dir).mkdir(parents=True, exist_ok=True)
+                stem = Path(cfg.reference_fasta).stem
+                cache = (
+                    Path(cfg.reference_data_dir)
+                    / f"{stem}_genome_index_k{cfg.seed_kmer_size}.npz"
+                )
+            if cache is not None and cache.exists():
+                self.genome = GenomeIndex.load(cache)
+                log.info("genome index loaded from %s in %.1fs", cache,
+                         time.time() - t0)
+            else:
+                self.genome = GenomeIndex(
+                    read_fasta(cfg.reference_fasta), cfg.seed_kmer_size
+                )
+                if cache is not None:
+                    self.genome.save(cache)
+                log.info("genome index built in %.1fs", time.time() - t0)
         if cfg.repeat_mask_file:
             self.rmask = RepeatMask.from_bed(cfg.repeat_mask_file)
+        if cfg.other_regions_file:
+            self.other_regions = read_targets_bed(cfg.other_regions_file)
 
     # -- reference data (reference: preset_ref_data / set_ref_data) --------
     def region_ref(self, target: TargetRegion) -> RegionRef:
@@ -156,6 +176,7 @@ class Runner:
                 normal_batch=self._normal_batch(target),
             )
             result = pipe.run(records)
+            self._annotate_other_regions(result.events)
             self.results.append(result)
             all_events.extend(result.events)
             log.info(
@@ -225,6 +246,7 @@ class Runner:
                     target=pipe.target, events=[], all_events=[], contigs=[],
                     error=f"{type(exc).__name__}: {exc}",
                 )
+            self._annotate_other_regions(result.events)
             self.results.append(result)
             all_events.extend(result.events)
             log.info(
@@ -241,6 +263,27 @@ class Runner:
             }
             self._save_ledger(ledger)
         return self._finalize(ledger, all_events, t_start)
+
+    def _annotate_other_regions(self, events: List[SVEvent]) -> None:
+        """Annotate events whose breakpoints fall in ``other_regions_file``
+        entries (reference: other-regions handling in runner/target —
+        SURVEY.md §2 #16): the partner locus name joins the genes column,
+        e.g. a translocation into an off-target partner gene."""
+        if not self.other_regions:
+            return
+        for ev in events:
+            extra = []
+            for chrom, start, _end in ev.breakpoints:
+                for name, reg in self.other_regions.items():
+                    if (
+                        name != ev.genes
+                        and name not in extra
+                        and reg.chrom == chrom
+                        and reg.start <= start < reg.end
+                    ):
+                        extra.append(name)
+            if extra:
+                ev.genes = ",".join([ev.genes] + extra)
 
     def _finalize(self, ledger, all_events, t_start) -> List[SVEvent]:
         cfg = self.cfg

@@ -1,0 +1,118 @@
+import numpy as np
+
+from breakmer_tpu.config import Config
+from breakmer_tpu.encode import ReadBatch
+from breakmer_tpu.extract import clean_reads, extract_sv_reads, is_sv_informative
+from breakmer_tpu.io.sam import SamRecord, parse_cigar
+
+
+def _rec(flag=0, cigar="100M", rname="chr1", pos=500, rnext="*", pnext=-1,
+         tlen=0, seq=None, qual=None, qname="r"):
+    seq = seq or "A" * 100
+    qual = qual if qual is not None else [35] * len(seq)
+    return SamRecord(qname, flag, rname, pos, 60, parse_cigar(cigar),
+                     rnext, pnext, tlen, seq, qual)
+
+
+def test_classify_softclip():
+    cfg = Config()
+    keep, reason = is_sv_informative(_rec(cigar="60M40S"), cfg)
+    assert (keep, reason) == (True, "softclip")
+    keep, reason = is_sv_informative(_rec(cigar="2S98M"), cfg)  # below min
+    assert not keep
+    # low-quality clip rejected
+    qual = [35] * 60 + [1] * 40
+    keep, _ = is_sv_informative(_rec(cigar="60M40S", qual=qual), cfg)
+    assert not keep
+
+
+def test_classify_unmapped_and_mate():
+    cfg = Config()
+    assert is_sv_informative(_rec(flag=0x4), cfg) == (True, "unmapped")
+    assert is_sv_informative(_rec(flag=0x1 | 0x8), cfg) == (True, "mate_unmapped")
+
+
+def test_classify_discordant():
+    cfg = Config()
+    # mate on another chrom
+    keep, reason = is_sv_informative(
+        _rec(flag=0x1 | 0x20, rnext="chr9", pnext=100), cfg)
+    assert (keep, reason) == (True, "discordant")
+    # oversized insert
+    keep, reason = is_sv_informative(
+        _rec(flag=0x1 | 0x20, rnext="chr1", pnext=90000, tlen=89500), cfg)
+    assert (keep, reason) == (True, "discordant")
+    # same-orientation pair
+    keep, reason = is_sv_informative(
+        _rec(flag=0x1 | 0x10 | 0x20, rnext="chr1", pnext=700, tlen=300), cfg)
+    assert (keep, reason) == (True, "discordant")
+    # proper pair: not informative
+    keep, _ = is_sv_informative(
+        _rec(flag=0x1 | 0x2 | 0x20, rnext="chr1", pnext=700, tlen=300), cfg)
+    assert not keep
+
+
+def test_classify_skips_secondary_dup():
+    cfg = Config()
+    assert not is_sv_informative(_rec(flag=0x100, cigar="50M50S"), cfg)[0]
+    assert not is_sv_informative(_rec(flag=0x400, cigar="50M50S"), cfg)[0]
+    assert not is_sv_informative(_rec(flag=0x800, cigar="50M50S"), cfg)[0]
+
+
+def test_extract_coverage_and_disc():
+    cfg = Config()
+    records = [
+        _rec(qname="a", cigar="100M", pos=500),
+        _rec(qname="b", cigar="60M40S", pos=520),
+        _rec(qname="c", flag=0x1 | 0x20, rnext="chr9", pnext=4000, pos=540),
+    ]
+    res = extract_sv_reads(records, ("chr1", 400, 800), cfg)
+    assert res.n_records == 3
+    assert res.n_sv_reads == 2  # softclip + discordant
+    assert len(res.disc) == 1
+    assert res.disc.pairs[0] == ("chr1", 540, "chr9", 4000)
+    assert res.coverage_at("chr1", 550) == 3
+    assert res.coverage_at("chr1", 401) == 0
+    assert res.coverage_at("chr2", 550) == 0  # out of window
+
+
+def test_clean_reads_quality_trim():
+    seqs = ["ACGTACGTACGTACGTACGTACGTACGTACGT"]  # 32bp
+    quals = [[30] * 28 + [2, 2, 2, 2]]
+    batch = ReadBatch.from_seqs(seqs, quals=quals)
+    out = clean_reads(batch, trim_qual=10, min_len=20)
+    assert len(out) == 1
+    assert int(out.lengths[0]) == 28
+
+
+def test_clean_reads_min_len():
+    batch = ReadBatch.from_seqs(["ACGTACGT"], quals=[[30] * 8])
+    assert len(clean_reads(batch, min_len=25)) == 0
+
+
+def test_clean_reads_adapter_3p():
+    adapter = "AGATCGGAAGAGC"
+    core = "ACGTACGTACGTACGTACGTACGTACGT"
+    # full adapter present
+    batch = ReadBatch.from_seqs([core + adapter + "TTTT"],
+                                quals=[[35] * (len(core) + len(adapter) + 4)])
+    out = clean_reads(batch, adapter_3p=adapter, min_len=10)
+    assert out.seq(0) == core
+    # partial adapter at read end
+    batch = ReadBatch.from_seqs([core + adapter[:5]],
+                                quals=[[35] * (len(core) + 5)])
+    out = clean_reads(batch, adapter_3p=adapter, min_len=10)
+    assert out.seq(0) == core
+    # no adapter -> untouched
+    batch = ReadBatch.from_seqs([core], quals=[[35] * len(core)])
+    out = clean_reads(batch, adapter_3p=adapter, min_len=10)
+    assert out.seq(0) == core
+
+
+def test_clean_reads_adapter_5p():
+    adapter = "TTTCCCGGG"
+    core = "ACGTACGTACGTACGTACGTACGTACGT"
+    batch = ReadBatch.from_seqs([adapter + core],
+                                quals=[[35] * (len(adapter) + len(core))])
+    out = clean_reads(batch, adapter_5p=adapter, min_len=10)
+    assert out.seq(0) == core

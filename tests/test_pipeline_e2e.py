@@ -206,6 +206,78 @@ def test_cli_version(capsys):
     assert capsys.readouterr().out.strip()
 
 
+def test_e2e_normal_subtraction(tmp_path):
+    """A germline event present in sample AND matched normal must be
+    subtracted away (config: normal_bam_file; reference: compare_kmers
+    normal subtraction)."""
+    work = tmp_path
+    genome = {"chr1": rand_seq(303, 3000)}
+    write_fasta(work / "genome.fa", genome)
+    (work / "targets.bed").write_text("chr1\t800\t1400\tGERM\n")
+    INS = "TTGACCATGGATCCGGTACAT"
+    hap = Haplotype(genome, [
+        RefBlock("chr1", 800, 1100), NovelBlock(INS), RefBlock("chr1", 1100, 1400),
+    ])
+    sam = SamBuilder(genome)
+    sam.add_haplotype_reads(hap, 180, 440, prefix="s")
+    sam.add_background_pairs("chr1", 600, 1600)
+    sam.write(work / "sample.sam")
+    # the normal carries the same insertion (germline)
+    nsam = SamBuilder(genome)
+    nsam.add_haplotype_reads(hap, 180, 440, prefix="n")
+    nsam.write(work / "normal.sam")
+
+    base = dict(
+        analysis_name="germ", targets_bed_file=str(work / "targets.bed"),
+        reference_fasta=str(work / "genome.fa"),
+        sample_bam_file=str(work / "sample.sam"),
+        indel_sr_thresh=2,
+    )
+    r1 = Runner(Config(analysis_dir=str(work / "a1"), **base))
+    r1.setup()
+    without_normal = r1.run()
+    assert len(without_normal) == 1  # somatic-mode: called
+
+    r2 = Runner(Config(analysis_dir=str(work / "a2"),
+                       normal_bam_file=str(work / "normal.sam"), **base))
+    r2.setup()
+    with_normal = r2.run()
+    assert with_normal == []  # germline: subtracted by the normal
+
+
+def test_e2e_other_regions_annotation(panel, tmp_path):
+    """Translocation partner locus named in other_regions_file joins the
+    genes column."""
+    work, cfg, INS = panel
+    other = tmp_path / "other.bed"
+    other.write_text("chr2\t3800\t4600\tPARTNER9\n")
+    cfg2 = Config(**{**cfg.__dict__,
+                     "other_regions_file": str(other),
+                     "analysis_dir": str(tmp_path / "analysis_other")})
+    runner = Runner(cfg2)
+    runner.setup()
+    events = runner.run()
+    trls = [e for e in events if e.sv_type == "trl"]
+    assert trls and trls[0].genes == "GENE5,PARTNER9"
+
+
+def test_genome_index_cache_roundtrip(tmp_path):
+    from breakmer_tpu.align.index import GenomeIndex
+    from breakmer_tpu.encode import encode_seq
+
+    genome = {"chrA": rand_seq(7, 700), "chrB": rand_seq(8, 500)}
+    gi = GenomeIndex(genome, 11)
+    gi.save(tmp_path / "gi.npz")
+    gi2 = GenomeIndex.load(tmp_path / "gi.npz")
+    assert gi2.k == 11 and set(gi2.chroms) == {"chrA", "chrB"}
+    q = encode_seq(genome["chrB"][200:280])
+    w1 = gi.candidates(q)
+    w2 = gi2.candidates(q)
+    assert [(w.chrom, w.t_start, w.t_end, w.strand) for w in w1] == [
+        (w.chrom, w.t_start, w.t_end, w.strand) for w in w2
+    ]
+
+
 def test_e2e_batched_regions_identical(panel, tmp_path):
     """Config #3: the packed multi-region device k-mer path must produce
     the SAME calls as the serial path."""
