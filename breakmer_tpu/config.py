@@ -79,6 +79,10 @@ class Config:
     # --- device / parallel ------------------------------------------------
     nprocs: int = 1                # reference -p; here: host-side worker hint
     batch_regions: bool = False    # pack regions into one device kmer launch
+    multihost: bool = False        # partition targets across jax processes
+    coordinator_address: Optional[str] = None  # jax.distributed coordinator
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     contig_pad_tiers: tuple = (128, 256, 512, 1024)  # bucketed pad lengths
     window_pad_tiers: tuple = (256, 512, 1024, 2048)
     batch_pad: int = 8             # pad (contig, window) batches to multiple

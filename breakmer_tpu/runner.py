@@ -62,6 +62,25 @@ class Runner:
         if cfg.gene_list:
             gene_list = [g.strip() for g in Path(cfg.gene_list).read_text().split()]
         self.targets = read_targets_bed(cfg.targets_bed_file, gene_list)
+        self.all_target_names = list(self.targets)
+        self.process_index, self.process_count = 0, 1
+        if cfg.multihost:
+            from breakmer_tpu.parallel.multihost import (
+                init_distributed, partition_targets,
+            )
+
+            self.process_index, self.process_count = init_distributed(
+                cfg.coordinator_address, cfg.num_processes, cfg.process_id
+            )
+            mine = set(partition_targets(
+                self.all_target_names, self.process_index, self.process_count
+            ))
+            self.targets = {n: t for n, t in self.targets.items() if n in mine}
+            log.info(
+                "multihost: process %d/%d owns %d of %d targets",
+                self.process_index, self.process_count,
+                len(self.targets), len(self.all_target_names),
+            )
         self.fasta = FastaIndex(cfg.reference_fasta)
         if cfg.build_genome_index:
             # gfServer replacement: in-memory whole-genome seed index,
@@ -118,6 +137,10 @@ class Runner:
     # -- ledger (checkpoint/resume, SURVEY.md §5) --------------------------
     @property
     def _ledger_path(self) -> Path:
+        if self.cfg.multihost:
+            from breakmer_tpu.parallel.multihost import shard_ledger_path
+
+            return shard_ledger_path(self.cfg.analysis_dir, self.process_index)
         return Path(self.cfg.analysis_dir) / "ledger.json"
 
     def _load_ledger(self) -> Dict[str, dict]:
@@ -192,6 +215,7 @@ class Runner:
                 "rows": [event_row(ev) for ev in result.events],
                 "error": result.error,
                 "elapsed_s": round(time.time() - t0, 3),
+                "stats": _region_stats(result),
             }
             self._save_ledger(ledger)
         return self._finalize(ledger, all_events, t_start)
@@ -260,6 +284,7 @@ class Runner:
                 "rows": [event_row(ev) for ev in result.events],
                 "error": result.error,
                 "elapsed_s": round(time.time() - t0, 3),
+                "stats": _region_stats(result),
             }
             self._save_ledger(ledger)
         return self._finalize(ledger, all_events, t_start)
@@ -287,16 +312,62 @@ class Runner:
 
     def _finalize(self, ledger, all_events, t_start) -> List[SVEvent]:
         cfg = self.cfg
+        if cfg.multihost:
+            if self.process_index != 0:
+                log.info("multihost: worker %d done (%d targets); process 0 "
+                         "merges the output", self.process_index, len(self.targets))
+                return all_events
+            from breakmer_tpu.parallel.multihost import merge_ledger_shards
+
+            ledger = merge_ledger_shards(
+                cfg.analysis_dir, self.all_target_names, self.process_count
+            )
         # aggregate from the ledger so resumed targets keep their calls
+        order = self.all_target_names if cfg.multihost else list(self.targets)
         all_rows = [
-            row for name in self.targets for row in ledger.get(name, {}).get("rows", [])
+            row for name in order for row in ledger.get(name, {}).get("rows", [])
         ]
         out = Path(cfg.analysis_dir) / "output" / f"{cfg.analysis_name}_svs.out"
         write_svs_rows(out, all_rows)
         self.total_calls = len(all_rows)
+        # structured per-stage counters (SURVEY.md §5 observability — the
+        # reference exposes these only as log prose)
+        metrics = {
+            "targets": len(order),
+            "calls": len(all_rows),
+            "elapsed_s": round(time.time() - t_start, 3),
+            "errors": {
+                n: ledger[n]["error"]
+                for n in order
+                if ledger.get(n, {}).get("error")
+            },
+            "regions": {
+                n: {**ledger[n].get("stats", {}),
+                    "calls": len(ledger[n].get("rows", [])),
+                    "elapsed_s": ledger[n].get("elapsed_s")}
+                for n in order if n in ledger
+            },
+        }
+        (Path(cfg.analysis_dir) / "metrics.json").write_text(
+            json.dumps(metrics, indent=1)
+        )
         log.info(
             "run complete: %d targets, %d calls (%d new) in %.1fs -> %s",
             len(self.targets), len(all_rows), len(all_events),
             time.time() - t_start, out,
         )
         return all_events
+
+
+def _region_stats(result: RegionResult) -> dict:
+    return {
+        "records": result.n_records,
+        "sv_reads": result.n_sv_reads,
+        "clean_reads": result.n_clean_reads,
+        "sample_kmers": result.n_sample_kmers,
+        "contigs": len(result.contigs),
+        "prefilter_events": len(result.all_events),
+        "filter_reasons": [
+            ev.filter_reason for ev in result.all_events if ev.filter_reason
+        ],
+    }
