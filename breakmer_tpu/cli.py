@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(run_p)
     run_p.add_argument("--resume", action="store_true",
                        help="resume from the per-region completion ledger")
+    run_p.add_argument("--profile", action="store_true",
+                       help="capture a jax.profiler trace to <analysis_dir>/trace")
 
     preset_p = sub.add_parser(
         "preset", help="pre-build reference data caches (reference preset mode)"
@@ -125,7 +127,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         runner.preset_ref_data()
         print(f"preset complete: {len(runner.targets)} targets cached")
         return 0
-    runner.run(resume=getattr(args, "resume", False))
+    if getattr(args, "profile", False):
+        # device + host trace (SURVEY.md §5 tracing/profiling aux subsystem)
+        import jax
+
+        with jax.profiler.trace(f"{cfg.analysis_dir}/trace"):
+            runner.run(resume=getattr(args, "resume", False))
+    else:
+        runner.run(resume=getattr(args, "resume", False))
     print(f"{runner.total_calls} SV calls written to "
           f"{cfg.analysis_dir}/output/{cfg.analysis_name}_svs.out")
     return 0

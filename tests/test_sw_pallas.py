@@ -67,5 +67,5 @@ def test_pallas_score_overflow_guard():
 
     q = jnp.zeros((8, 8192), dtype=jnp.int8)
     t = jnp.zeros((8, 8192), dtype=jnp.int8)
-    with pytest.raises(ValueError, match="overflow"):
+    with pytest.raises(ValueError, match="int32"):
         sw_score_pallas(q, t, SWParams(match=2 ** 16))
