@@ -1,0 +1,116 @@
+"""End-to-end panel throughput benchmark (regions/s, reads/s at 1 host).
+
+Separate from bench.py (the driver's headline SW-GCUPS metric) because a
+full pipeline run compiles several shapes — slow on a cold cache over the
+TPU tunnel. Builds a deterministic synthetic panel (default 20 genes, a
+planted SV in every other gene), runs the full Runner twice (the second
+run measures with warm caches), and prints one JSON line.
+
+Usage: python bench_panel.py [n_genes] [reads_per_region]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+
+def build_panel(work: Path, n_genes: int, read_step: int):
+    sys.path.insert(0, str(Path(__file__).parent))
+    from breakmer_tpu.config import Config
+    from breakmer_tpu.io.fasta import write_fasta
+    from tests.fixtures import Haplotype, NovelBlock, RefBlock, SamBuilder, rand_seq
+
+    span = 1200
+    gap = 800
+    chrom_len = n_genes * (span + gap) + 4000
+    genome = {"chr1": rand_seq(1001, chrom_len)}
+    write_fasta(work / "genome.fa", genome)
+    sam = SamBuilder(genome)
+    lines = []
+    ins = "TTGACCATGGATCCGGTACAT"
+    for g in range(n_genes):
+        start = 2000 + g * (span + gap)
+        end = start + span
+        lines.append(f"chr1\t{start}\t{end}\tGENE{g}\n")
+        if g % 2 == 0:
+            mid = start + span // 2
+            hap = Haplotype(genome, [
+                RefBlock("chr1", start, mid), NovelBlock(ins),
+                RefBlock("chr1", mid, end),
+            ])
+            sam.add_haplotype_reads(
+                hap, span // 2 - 180, span // 2 + 160, step=read_step,
+                prefix=f"g{g}r",
+            )
+        sam.add_background_pairs("chr1", start - 300, end + 300,
+                                 step=read_step * 3, prefix=f"bg{g}")
+    (work / "targets.bed").write_text("".join(lines))
+    sam.write(work / "sample.sam")
+    return Config(
+        analysis_name="panelbench",
+        analysis_dir=str(work / "analysis"),
+        targets_bed_file=str(work / "targets.bed"),
+        reference_fasta=str(work / "genome.fa"),
+        reference_data_dir=str(work / "refdata"),
+        sample_bam_file=str(work / "sample.sam"),
+        indel_sr_thresh=2,
+        batch_regions=True,
+    )
+
+
+def run_once(cfg) -> dict:
+    from breakmer_tpu.runner import Runner
+
+    t0 = time.time()
+    runner = Runner(type(cfg)(**{**cfg.__dict__}))
+    runner.setup()
+    runner.run()
+    dt = time.time() - t0
+    reads = sum(r.n_records for r in runner.results)
+    return {
+        "elapsed_s": dt,
+        "targets": len(runner.targets),
+        "calls": runner.total_calls,
+        "records": reads,
+    }
+
+
+def main() -> None:
+    n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    read_step = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+
+    from breakmer_tpu.device import configure
+
+    platform = configure("auto")
+    work = Path(tempfile.mkdtemp(prefix="breakmer_panel_"))
+    try:
+        cfg = build_panel(work, n_genes, read_step)
+        cold = run_once(cfg)
+        shutil.rmtree(cfg.analysis_dir, ignore_errors=True)
+        warm = run_once(cfg)
+        print(json.dumps({
+            "metric": "panel_regions_per_s",
+            "value": round(warm["targets"] / warm["elapsed_s"], 3),
+            "unit": "regions/s",
+            "vs_baseline": 1.0,
+            "platform": platform,
+            "detail": {
+                "n_genes": n_genes,
+                "calls": warm["calls"],
+                "records": warm["records"],
+                "reads_per_s": round(warm["records"] / warm["elapsed_s"], 1),
+                "cold_s": round(cold["elapsed_s"], 2),
+                "warm_s": round(warm["elapsed_s"], 2),
+            },
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,15 +49,39 @@ class Window:
 
 
 class SeedIndex:
-    """Sorted k-mer index over one target sequence."""
+    """Sorted k-mer index over one target sequence.
 
-    def __init__(self, codes: np.ndarray, k: int):
+    ``step`` indexes every step-th position only — BLAT's gfServer tiles
+    the genome with non-overlapping k-mers (stepSize == tileSize), which
+    divides genome index memory by k while queries (which scan every
+    query k-mer) still hit every tile (SURVEY.md §2a gfServer row).
+    ``max_hits_per_seed`` drops pathologically repetitive seeds, the
+    analog of BLAT's repMatch/maxHits guard.
+    """
+
+    def __init__(self, codes: np.ndarray, k: int, step: int = 1,
+                 max_hits_per_seed: int = 64):
         self.k = k
+        self.step = step
+        self.max_hits_per_seed = max_hits_per_seed
         self.length = len(codes)
         seed_codes, positions = _seed_codes(codes, k)
+        if step > 1:
+            keep = positions % step == 0
+            seed_codes, positions = seed_codes[keep], positions[keep]
         order = np.argsort(seed_codes, kind="stable")
-        self._codes = seed_codes[order]
-        self._pos = positions[order]
+        seed_codes = seed_codes[order]
+        positions = positions[order]
+        if max_hits_per_seed > 0 and len(seed_codes):
+            # rank of each entry within its (sorted) code run; cap the run
+            starts = np.r_[True, seed_codes[1:] != seed_codes[:-1]]
+            run_ids = np.cumsum(starts) - 1
+            run_first_idx = np.nonzero(starts)[0]
+            rank = np.arange(len(seed_codes)) - run_first_idx[run_ids]
+            keep = rank < max_hits_per_seed
+            seed_codes, positions = seed_codes[keep], positions[keep]
+        self._codes = seed_codes
+        self._pos = positions
 
     def lookup(self, code: int) -> np.ndarray:
         lo = np.searchsorted(self._codes, code, side="left")
@@ -144,19 +168,28 @@ class GenomeIndex:
     reference's cached ``.2bit`` (SURVEY.md §5 checkpoint/resume).
     """
 
-    def __init__(self, chrom_seqs: Dict[str, str], k: int = 11):
+    def __init__(self, chrom_seqs: Dict[str, str], k: int = 11,
+                 step: Optional[int] = None):
         self.k = k
+        total = sum(len(s) for s in chrom_seqs.values())
+        # auto: dense index for panel-scale genomes, gfServer-style
+        # non-overlapping tiles for real genomes (memory / k)
+        self.step = step if step is not None else (1 if total < 50_000_000 else k)
         self._codes: Dict[str, np.ndarray] = {
             c: encode_seq(s) for c, s in chrom_seqs.items()
         }
         self._index: Dict[str, SeedIndex] = {
-            c: SeedIndex(codes, k) for c, codes in self._codes.items()
+            c: SeedIndex(codes, k, step=self.step)
+            for c, codes in self._codes.items()
         }
 
     def save(self, path) -> None:
         from breakmer_tpu.encode import pack_2bit
 
-        arrays = {"__k__": np.array([self.k], dtype=np.int64)}
+        arrays = {
+            "__k__": np.array([self.k], dtype=np.int64),
+            "__step__": np.array([self.step], dtype=np.int64),
+        }
         for c, codes in self._codes.items():
             idx = self._index[c]
             arrays[f"{c}::packed"] = pack_2bit(codes)
@@ -173,6 +206,7 @@ class GenomeIndex:
         data = np.load(path)
         self = cls.__new__(cls)
         self.k = int(data["__k__"][0])
+        self.step = int(data["__step__"][0]) if "__step__" in data.files else 1
         self._codes = {}
         self._index = {}
         chroms = sorted(
@@ -186,6 +220,8 @@ class GenomeIndex:
             self._codes[c] = codes
             idx = SeedIndex.__new__(SeedIndex)
             idx.k = self.k
+            idx.step = self.step
+            idx.max_hits_per_seed = 64
             idx.length = length
             idx._codes = data[f"{c}::seed_codes"]
             idx._pos = data[f"{c}::seed_pos"]
