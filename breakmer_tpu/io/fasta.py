@@ -124,3 +124,6 @@ class FastaIndex:
     def iter_chroms(self) -> Iterator[Tuple[str, int]]:
         for name, entry in self._index.items():
             yield name, entry.length
+
+    def to_dict(self) -> Dict[str, str]:
+        return {n: self.fetch(n, 0, self.length(n)) for n in self.names}

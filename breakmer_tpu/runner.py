@@ -81,7 +81,14 @@ class Runner:
                 self.process_index, self.process_count,
                 len(self.targets), len(self.all_target_names),
             )
-        self.fasta = FastaIndex(cfg.reference_fasta)
+        if str(cfg.reference_fasta).endswith(".2bit"):
+            # UCSC .2bit references accepted directly (migration compat
+            # with the reference's faToTwoBit artifacts)
+            from breakmer_tpu.io.twobit import TwoBitReader
+
+            self.fasta = TwoBitReader(cfg.reference_fasta)
+        else:
+            self.fasta = FastaIndex(cfg.reference_fasta)
         if cfg.build_genome_index:
             # gfServer replacement: in-memory whole-genome seed index,
             # cached as a packed artifact under reference_data_dir (the
@@ -101,7 +108,7 @@ class Runner:
                          time.time() - t0)
             else:
                 self.genome = GenomeIndex(
-                    read_fasta(cfg.reference_fasta), cfg.seed_kmer_size
+                    self.fasta.to_dict(), cfg.seed_kmer_size
                 )
                 if cache is not None:
                     self.genome.save(cache)
