@@ -79,6 +79,8 @@ class Config:
     # --- device / parallel ------------------------------------------------
     nprocs: int = 1                # reference -p; here: host-side worker hint
     batch_regions: bool = False    # pack regions into one device kmer launch
+    preload_alignments: bool = True  # parse the alignment file once, filter
+                                     # per region in memory (False = rescan)
     multihost: bool = False        # partition targets across jax processes
     coordinator_address: Optional[str] = None  # jax.distributed coordinator
     num_processes: Optional[int] = None

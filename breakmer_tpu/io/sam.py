@@ -112,7 +112,12 @@ def parse_sam_line(line: str) -> SamRecord:
     rnext = cols[6]
     if rnext == "=":
         rnext = rname
-    qual = [] if cols[10] == "*" else [ord(c) - 33 for c in cols[10]]
+    if cols[10] == "*":
+        qual = []
+    else:
+        import numpy as _np
+
+        qual = (_np.frombuffer(cols[10].encode(), _np.uint8) - 33).tolist()
     return SamRecord(
         qname=cols[0],
         flag=int(cols[1]),
@@ -128,6 +133,17 @@ def parse_sam_line(line: str) -> SamRecord:
     )
 
 
+def record_overlaps(rec: SamRecord, region: Tuple[str, int, int]) -> bool:
+    """pysam.fetch-style region predicate (0-based half-open); unmapped
+    reads count when their placeholder position is inside the region."""
+    chrom, start, end = region
+    if rec.is_unmapped:
+        return rec.rname == chrom and start <= rec.pos < end
+    if rec.rname != chrom:
+        return False
+    return rec.reference_end() > start and rec.pos < end
+
+
 def read_sam(
     path: str | Path,
     region: Optional[Tuple[str, int, int]] = None,
@@ -141,15 +157,6 @@ def read_sam(
             if line.startswith("@"):
                 continue
             rec = parse_sam_line(line)
-            if region is not None:
-                chrom, start, end = region
-                if rec.is_unmapped:
-                    # unmapped reads placed at mate position still carry pos
-                    if rec.rname != chrom or not (start <= rec.pos < end):
-                        continue
-                else:
-                    if rec.rname != chrom:
-                        continue
-                    if rec.reference_end() <= start or rec.pos >= end:
-                        continue
+            if region is not None and not record_overlaps(rec, region):
+                continue
             yield rec

@@ -31,6 +31,7 @@ from breakmer_tpu.encode import ReadBatch, encode_seq
 from breakmer_tpu.io.bed import TargetRegion, read_targets_bed
 from breakmer_tpu.io.fasta import FastaIndex, read_fasta
 from breakmer_tpu.io.bam import read_alignments
+from breakmer_tpu.io.sam import record_overlaps
 from breakmer_tpu.pipeline import RegionResult, TargetPipeline
 from breakmer_tpu.report import event_row, write_svs_rows
 from breakmer_tpu.utils.logging import get_logger, setup_logger
@@ -48,6 +49,7 @@ class Runner:
         self.rmask: Optional[RepeatMask] = None
         self.results: List[RegionResult] = []
         self.other_regions: Dict[str, TargetRegion] = {}
+        self._sample_records: Optional[list] = None
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
 
     # -- setup (reference: runner.__init__ + start_blat_server) ------------
@@ -159,6 +161,25 @@ class Runner:
         self._ledger_path.parent.mkdir(parents=True, exist_ok=True)
         self._ledger_path.write_text(json.dumps(ledger, indent=1))
 
+    # -- alignment streaming -----------------------------------------------
+    def _region_records(self, chrom: int, start: int, end: int):
+        """Records overlapping a region. With preload_alignments (default)
+        the file is parsed ONCE and filtered in memory per region —
+        re-parsing the whole SAM/BAM per target dominated panel runtime
+        (one pass is also what the reference's BAM index achieves)."""
+        cfg = self.cfg
+        if not cfg.preload_alignments:
+            return read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
+        if self._sample_records is None:
+            t0 = time.time()
+            self._sample_records = list(read_alignments(cfg.sample_bam_file))
+            log.info(
+                "loaded %d alignment records in %.1fs",
+                len(self._sample_records), time.time() - t0,
+            )
+        region = (chrom, start, end)
+        return (r for r in self._sample_records if record_overlaps(r, region))
+
     # -- normal reads for kmer subtraction ---------------------------------
     def _normal_batch(self, target: TargetRegion) -> Optional[ReadBatch]:
         cfg = self.cfg
@@ -196,7 +217,7 @@ class Runner:
             t0 = time.time()
             region_ref = self.region_ref(target)
             chrom, start, end = target.span(cfg.region_buffer)
-            records = read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
+            records = self._region_records(chrom, start, end)
             pipe = TargetPipeline(
                 cfg,
                 target,
@@ -249,7 +270,7 @@ class Runner:
                 continue
             region_ref = self.region_ref(target)
             chrom, start, end = target.span(cfg.region_buffer)
-            records = read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
+            records = self._region_records(chrom, start, end)
             pipe = TargetPipeline(
                 cfg, target, region_ref, genome=self.genome, rmask=self.rmask
             )
