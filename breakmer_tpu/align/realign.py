@@ -87,8 +87,10 @@ def _score_windows(
     windows: Sequence[Window],
     window_codes: Sequence[np.ndarray],
     params: SWParams,
-) -> np.ndarray:
-    """Batched device SW over all candidate windows; returns scores."""
+):
+    """Batched device SW over all candidate windows; returns
+    (scores, q_ends, t_ends) — the ends let the host traceback clip its
+    DP to the winning cell's prefix."""
     q_rc = revcomp_codes(q_fwd)
     lq = pad_tier(len(q_fwd), (128, 256, 512, 1024))
     lt = pad_tier(max(len(c) for c in window_codes), (256, 512, 1024, 2048))
@@ -98,8 +100,7 @@ def _score_windows(
     for b, (w, codes) in enumerate(zip(windows, window_codes)):
         qb[b, : len(q_fwd)] = q_fwd if w.strand == "+" else q_rc
         tb[b, : len(codes)] = codes
-    scores, _, _ = sw_score_batch(qb, tb, params)
-    return scores
+    return sw_score_batch(qb, tb, params)
 
 
 def realign_contig(
@@ -148,7 +149,9 @@ def realign_contig(
         if not windows:
             break
         # --- batched device scoring ---------------------------------------
-        scores = _score_windows(masked, windows, window_codes, params)
+        scores, q_ends, t_ends = _score_windows(
+            masked, windows, window_codes, params
+        )
         order = np.argsort(-scores, kind="stable")
         best = int(order[0])
         if scores[best] < min_seg_score:
@@ -157,8 +160,17 @@ def realign_contig(
         codes = window_codes[best]
         is_region_window = best < n_region_windows
         # --- host traceback on the winner ---------------------------------
+        # the device already located the best cell; the host DP only needs
+        # the prefix up to it (exact — no cell beyond the best end can be
+        # part of the optimal local alignment, and device/host agree
+        # bit-exactly on the best cell)
         q_or = masked if w.strand == "+" else revcomp_codes(masked)
-        aln_whole = traceback_align(q_or, codes, params)
+        qe = int(q_ends[best]) + 1
+        te = int(t_ends[best]) + 1
+        if 0 < qe <= len(q_or) and 0 < te <= len(codes):
+            aln_whole = traceback_align(q_or[:qe], codes[:te], params)
+        else:
+            aln_whole = traceback_align(q_or, codes, params)
         if aln_whole.score <= 0:
             break
         # blat-parity: no giant query gaps inside one segment — split them

@@ -183,7 +183,18 @@ def split_alignment(
 
 
 def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):
-    """Anti-diagonal vectorized fill of full H/E/F matrices (1-based)."""
+    """Row-vectorized fill of full H/E/F matrices (1-based).
+
+    The in-row E dependence collapses: with go >= ge,
+      E[j] = max(H[j-1]-go, E[j-1]-ge) == max_{j'<j} C[j'] - go - ge*(j-1-j')
+    where C is the E-free candidate max(0, diag, F) — a single
+    ``maximum.accumulate`` per row instead of a sequential scan (the
+    stored E equals the recurrent definition, so the traceback's
+    E-state checks are unaffected).
+
+    Best-cell selection replays the wavefront tie-break of ops.sw:
+    larger H first, then smaller anti-diagonal d=i+j, then smaller i.
+    """
     n, m = len(q), len(t)
     H = np.zeros((n + 1, m + 1), dtype=np.int32)
     E = np.full((n + 1, m + 1), NEG, dtype=np.int32)
@@ -192,27 +203,31 @@ def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):
     ge = p.gap_extend
     qv = q.astype(np.int32)
     tv = t.astype(np.int32)
-    best, bi, bj = 0, -1, -1
-    for d in range(n + m - 1):
-        i0 = max(0, d - m + 1)
-        i1 = min(n - 1, d)
-        i = np.arange(i0, i1 + 1)
-        j = d - i
-        ii, jj = i + 1, j + 1
-        E[ii, jj] = np.maximum(H[ii, jj - 1] - go, E[ii, jj - 1] - ge)
-        F[ii, jj] = np.maximum(H[ii - 1, jj] - go, F[ii - 1, jj] - ge)
-        sub = np.where(
-            (qv[i] >= 4) | (tv[j] >= 4),
-            NEG,
-            np.where(qv[i] == tv[j], p.match, -p.mismatch),
-        )
-        H[ii, jj] = np.maximum(
-            np.maximum(H[ii - 1, jj - 1] + sub, 0), np.maximum(E[ii, jj], F[ii, jj])
-        )
-        vals = H[ii, jj]
-        k = int(np.argmax(vals))
-        if vals[k] > best:
-            best, bi, bj = int(vals[k]), int(i[k]), int(j[k])
+    t_bad = tv >= 4
+    jj_idx = np.arange(m, dtype=np.int64)
+    ge_ramp = ge * jj_idx
+    best, bd, bi, bj = 0, 1 << 60, -1, -1
+    for i in range(1, n + 1):
+        Hp = H[i - 1]
+        F[i, 1:] = np.maximum(Hp[1:] - go, F[i - 1, 1:] - ge)
+        qc = qv[i - 1]
+        if qc >= 4:
+            sub = np.full(m, NEG, dtype=np.int64)
+        else:
+            sub = np.where(t_bad, NEG, np.where(tv == qc, p.match, -p.mismatch))
+        C = np.maximum(0, np.maximum(Hp[:-1] + sub, F[i, 1:]))
+        S = C + ge_ramp
+        pref = np.maximum.accumulate(S)
+        E[i, 2:] = pref[:-1] - go - ge_ramp[:-1]
+        H[i, 1:] = np.maximum(C, E[i, 1:])
+        row = H[i, 1:]
+        jj = int(np.argmax(row))  # first max -> smallest j -> smallest d
+        val = int(row[jj])
+        d = (i - 1) + jj
+        if val > best or (val == best and d < bd):
+            best, bd, bi, bj = val, d, i - 1, jj
+    if best <= 0:
+        return H, E, F, 0, -1, -1
     return H, E, F, best, bi, bj
 
 

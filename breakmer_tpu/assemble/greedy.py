@@ -119,6 +119,29 @@ def _mismatches(a: np.ndarray, b: np.ndarray) -> int:
     return int(np.sum((a != b) & usable))
 
 
+_ENC_LUT = np.full(256, 4, dtype=np.int8)
+for _ch, _cc in zip(b"ACGT", range(4)):
+    _ENC_LUT[_ch] = _cc
+
+
+def _consensus_kmers(consensus: str, k: int) -> "np.ndarray":
+    """(codes, positions) of all valid kmers of the consensus — vectorized
+    rolling evaluation (replaces per-kmer str scans in the grow loop)."""
+    codes = _ENC_LUT[np.frombuffer(consensus.encode(), dtype=np.uint8)]
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    acc = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+    c64 = codes.astype(np.int64)
+    for j in range(k):
+        w = c64[j : j + n]
+        bad |= w >= 4
+        acc = (acc << 2) | np.where(w >= 4, 0, w)
+    pos = np.nonzero(~bad)[0]
+    return acc[pos], pos
+
+
 def assemble(
     kmer_values: np.ndarray,
     kmer_counts: np.ndarray,
@@ -172,9 +195,24 @@ def assemble(
         queued = {seed_code}
         consensus = ""
         cons_start = 0
+        cons_kpos: Dict[int, int] = {}  # kmer code -> first consensus pos
         # seed read: first hit in deterministic order, anchored at its kmer
         # position so contig coordinate 0 is the seed read's first base
         first_r, first_p = seed_hits[0]
+
+        def refresh_consensus() -> None:
+            """Recompute the consensus kmer map and enqueue newly
+            reachable sample-only kmers in scan (position) order —
+            reference: contig.refresh_kmers."""
+            nonlocal cons_kpos
+            codes_arr, pos_arr = _consensus_kmers(consensus, k)
+            cons_kpos = {}
+            for c2, p2 in zip(codes_arr.tolist(), pos_arr.tolist()):
+                if c2 not in cons_kpos:
+                    cons_kpos[c2] = p2
+                if c2 in sample_only and c2 not in queued:
+                    queue.append(c2)
+                    queued.add(c2)
 
         def place(read_idx: int, read_kpos: int, contig_kpos: int) -> bool:
             nonlocal consensus, cons_start
@@ -188,13 +226,9 @@ def assemble(
                 c_lo = max(cons_start, offset)
                 c_hi = min(cons_start + len(consensus), offset + length)
                 if c_hi > c_lo:
-                    cons_codes = np.frombuffer(
-                        consensus.encode(), dtype=np.uint8
-                    )
-                    lut = np.full(256, 4, dtype=np.int8)
-                    for ch, cc in zip(b"ACGT", range(4)):
-                        lut[ch] = cc
-                    cseg = lut[cons_codes[c_lo - cons_start : c_hi - cons_start]]
+                    cseg = _ENC_LUT[
+                        np.frombuffer(consensus.encode(), dtype=np.uint8)
+                    ][c_lo - cons_start : c_hi - cons_start]
                     rseg = codes[c_lo - offset : c_hi - offset]
                     ov = c_hi - c_lo
                     if _mismatches(cseg, rseg) > max(2, int(max_read_mismatch_frac * ov)):
@@ -205,30 +239,24 @@ def assemble(
             consensus, cons_start = grow.consensus()
             return True
 
-        place(first_r, first_p, 0)
+        if place(first_r, first_p, 0):
+            refresh_consensus()
 
         while queue:
             code = queue.popleft()
             kmer_used.add(code)
             # where does this kmer sit in the current consensus?
-            kstr = kmer_ops.kmer_to_str(code, k)
-            cpos = consensus.find(kstr)
-            if cpos == -1:
+            cpos = cons_kpos.get(code)
+            if cpos is None:
                 continue
             contig_kpos = cons_start + cpos
+            added = False
             for r, p in postings.get(code, []):
                 if r in read_used or r in placed_set:
                     continue
-                place(r, p, contig_kpos)
-            # refresh: newly reachable sample-only kmers, scan order
-            for i in range(len(consensus) - k + 1):
-                sub = consensus[i : i + k]
-                if "N" in sub:
-                    continue
-                c2 = kmer_ops.str_to_kmer(sub)
-                if c2 in sample_only and c2 not in queued:
-                    queue.append(c2)
-                    queued.add(c2)
+                added |= place(r, p, contig_kpos)
+            if added:
+                refresh_consensus()
 
         if len(placed) >= min_contig_reads and len(consensus) >= min_contig_len:
             for cr in placed:
