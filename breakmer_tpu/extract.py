@@ -132,6 +132,137 @@ def extract_sv_reads(
     )
 
 
+def extract_sv_reads_columnar(
+    cols: dict,
+    ref_names: List[str],
+    region: Tuple[str, int, int],
+    cfg: Config,
+) -> ExtractResult:
+    """Columnar twin of :func:`extract_sv_reads` over the native BAM
+    decode (breakmer_tpu.native.bam_decode_columns): the whole file is
+    decoded once in C++; per-region classification is vectorized numpy
+    over the columns. Produces byte-identical ExtractResults to the
+    record path (tested), at native ingestion speed.
+
+    Classification priority replicates is_sv_informative exactly:
+    unmapped > softclip > mate_unmapped > discordant — in particular a
+    soft-clipped discordant read is "softclip" and does NOT enter the
+    discordant-pair map.
+    """
+    chrom, start, end = region
+    rid = ref_names.index(chrom) if chrom in ref_names else -1
+    n = cols["n"]
+    cov = np.zeros(max(1, end - start), dtype=np.int32)
+    disc = DiscordantPairs()
+    empty = ExtractResult(
+        batch=ReadBatch.from_seqs([]), disc=disc, coverage=cov,
+        region_chrom=chrom, region_start=start, n_records=0, n_sv_reads=0,
+    )
+    if n == 0 or rid < 0:
+        return empty
+    flag = cols["flag"]
+    pos = cols["pos"]
+    span = cols["ref_span"]
+    refid = cols["refid"]
+    unmapped = (flag & 0x4) != 0
+    in_region = np.where(
+        unmapped,
+        (refid == rid) & (pos >= start) & (pos < end),
+        (refid == rid) & (pos < end) & (pos + span > start),
+    )
+    idx = np.nonzero(in_region)[0]
+    if len(idx) == 0:
+        return empty
+    f = flag[idx]
+    p = pos[idx]
+    sp = span[idx]
+    um = unmapped[idx]
+    secondary = (f & (0x100 | 0x800)) != 0
+    dup = (f & 0x400) != 0
+    # coverage over all mapped primary records (duplicates included, as in
+    # the record path)
+    covered = ~um & ~secondary
+    for i in np.nonzero(covered)[0]:
+        lo = max(0, int(p[i]) - start)
+        hi = min(end - start, int(p[i]) + int(sp[i]) - start)
+        if hi > lo:
+            cov[lo:hi] += 1
+    considered = ~secondary & ~dup
+    paired = (f & 0x1) != 0
+    mate_unmapped = (f & 0x8) != 0
+    reverse = (f & 0x10) != 0
+    mate_reverse = (f & 0x20) != 0
+    cl = cols["clip_left"][idx]
+    cr = cols["clip_right"][idx]
+    lseq = cols["lseq"][idx]
+    quals = cols["quals"][idx]
+    # clip base-quality gate (avg >= min_clip_qual), vectorized
+    ml = np.maximum(cl, 1)
+    mr = np.maximum(cr, 1)
+    col_ix = np.arange(quals.shape[1])
+    left_mask = col_ix[None, :] < ml[:, None]
+    right_lo = lseq - mr
+    right_mask = (col_ix[None, :] >= right_lo[:, None]) & (col_ix[None, :] < lseq[:, None])
+    q = np.where(quals >= 0, quals, 0)
+    left_avg = (q * left_mask).sum(1) / np.maximum(left_mask.sum(1), 1)
+    right_avg = (q * right_mask).sum(1) / np.maximum(right_mask.sum(1), 1)
+    softclip = considered & ~um & (
+        ((cl >= cfg.min_clip_len) & (left_avg >= cfg.min_clip_qual))
+        | ((cr >= cfg.min_clip_len) & (right_avg >= cfg.min_clip_qual))
+    )
+    keep_unmapped = considered & um
+    keep_mate_um = considered & ~um & ~softclip & paired & mate_unmapped
+    tlen = cols["tlen"][idx]
+    nrefid = cols["next_refid"][idx]
+    discordant = (
+        considered & ~um & ~softclip & ~keep_mate_um & paired
+        & (
+            (nrefid != refid[idx])
+            | (np.abs(tlen) > cfg.insert_size_thresh)
+            | (reverse == mate_reverse)
+        )
+    )
+    keep = keep_unmapped | softclip | keep_mate_um | discordant
+    # discordant-pair map
+    npos = cols["next_pos"][idx]
+    for i in np.nonzero(discordant)[0]:
+        nrid = int(nrefid[i])
+        disc.add(
+            chrom, int(p[i]),
+            ref_names[nrid] if 0 <= nrid < len(ref_names) else "*",
+            int(npos[i]),
+        )
+    # pack kept reads (dedup by name+mate like the record path)
+    seqs: List[str] = []
+    names: List[str] = []
+    qlist: List[List[int]] = []
+    from breakmer_tpu.encode import decode_seq
+
+    seen = set()
+    name_rows = cols["names"][idx]
+    seq_rows = cols["seq_codes"][idx]
+    for i in np.nonzero(keep)[0]:
+        L = int(lseq[i])
+        if L == 0:
+            continue
+        base = bytes(name_rows[i]).split(b"\x00")[0].decode()
+        name = base + ("/2" if f[i] & 0x80 else "/1")
+        if name in seen:
+            continue
+        seen.add(name)
+        seqs.append(decode_seq(seq_rows[i, :L]))
+        names.append(name)
+        qlist.append([int(x) for x in quals[i, :L]])
+    batch = (
+        ReadBatch.from_seqs(seqs, names=names, quals=qlist)
+        if seqs else ReadBatch.from_seqs([])
+    )
+    return ExtractResult(
+        batch=batch, disc=disc, coverage=cov, region_chrom=chrom,
+        region_start=start, n_records=int(len(idx)), n_sv_reads=len(seqs),
+    )
+
+
 def _find_adapter_3p(seq: str, adapter: str, min_overlap: int = 3) -> int:
     """cutadapt-style 3' adapter location: full adapter anywhere in the
     read, else a read-suffix == adapter-prefix overlap of >= min_overlap.

@@ -73,12 +73,23 @@ class TargetPipeline:
         self.kmer_counts: Optional[np.ndarray] = None
 
     # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
-    def extract_and_clean(self, records: Iterable[SamRecord]) -> bool:
+    def extract_and_clean(
+        self,
+        records: Optional[Iterable[SamRecord]] = None,
+        extract_result: Optional[ExtractResult] = None,
+    ) -> bool:
         """Extraction + cleaning only (the batched runner computes k-mers
-        for many regions in one device launch; see parallel/kmer_batch)."""
+        for many regions in one device launch; see parallel/kmer_batch).
+        ``extract_result`` injects a prebuilt extraction (the runner's
+        columnar native-BAM path)."""
         cfg = self.cfg
-        chrom, start, end = self.target.span(cfg.region_buffer)
-        self.extract_result = extract_sv_reads(records, (chrom, start, end), cfg)
+        if extract_result is not None:
+            self.extract_result = extract_result
+        else:
+            chrom, start, end = self.target.span(cfg.region_buffer)
+            self.extract_result = extract_sv_reads(
+                records, (chrom, start, end), cfg
+            )
         batch = self.extract_result.batch
         if len(batch) == 0:
             return False
@@ -98,9 +109,13 @@ class TargetPipeline:
         self.kmer_values = values
         self.kmer_counts = counts
 
-    def find_sv_reads(self, records: Iterable[SamRecord]) -> bool:
+    def find_sv_reads(
+        self,
+        records: Optional[Iterable[SamRecord]] = None,
+        extract_result: Optional[ExtractResult] = None,
+    ) -> bool:
         cfg = self.cfg
-        if not self.extract_and_clean(records):
+        if not self.extract_and_clean(records, extract_result):
             return False
         normal = self.normal_batch
         self.kmer_values, self.kmer_counts = sample_only_kmers(
@@ -178,9 +193,13 @@ class TargetPipeline:
         return result
 
     # -- one-call driver (reference: target.complete_analysis) -------------
-    def run(self, records: Iterable[SamRecord]) -> RegionResult:
+    def run(
+        self,
+        records: Optional[Iterable[SamRecord]] = None,
+        extract_result: Optional[ExtractResult] = None,
+    ) -> RegionResult:
         try:
-            if not self.find_sv_reads(records):
+            if not self.find_sv_reads(records, extract_result):
                 return RegionResult(
                     target=self.target,
                     events=[],

@@ -50,6 +50,7 @@ class Runner:
         self.results: List[RegionResult] = []
         self.other_regions: Dict[str, TargetRegion] = {}
         self._sample_records: Optional[list] = None
+        self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
 
     # -- setup (reference: runner.__init__ + start_blat_server) ------------
@@ -162,6 +163,39 @@ class Runner:
         self._ledger_path.write_text(json.dumps(ledger, indent=1))
 
     # -- alignment streaming -----------------------------------------------
+    def _columnar_extract(self, target: TargetRegion):
+        """Native-BAM columnar extraction (C++ decode once, vectorized
+        numpy classification per region); None when unavailable — the
+        caller falls back to the record path."""
+        cfg = self.cfg
+        if not (
+            cfg.preload_alignments
+            and str(cfg.sample_bam_file).endswith(".bam")
+        ):
+            return None
+        from breakmer_tpu import native
+
+        if not native.available():
+            return None
+        if self._native_cols is None:
+            from breakmer_tpu.io.bam import BamReader
+
+            t0 = time.time()
+            reader = BamReader(cfg.sample_bam_file)
+            cols = native.bam_decode_columns(reader._data, reader._align_off)
+            if cols is None:
+                return None
+            self._native_cols = (cols, [n for n, _ in reader.refs])
+            log.info(
+                "native BAM decode: %d records in %.1fs",
+                cols.get("n", 0), time.time() - t0,
+            )
+        from breakmer_tpu.extract import extract_sv_reads_columnar
+
+        cols, ref_names = self._native_cols
+        chrom, start, end = target.span(cfg.region_buffer)
+        return extract_sv_reads_columnar(cols, ref_names, (chrom, start, end), cfg)
+
     def _region_records(self, chrom: int, start: int, end: int):
         """Records overlapping a region. With preload_alignments (default)
         the file is parsed ONCE and filtered in memory per region —
@@ -217,7 +251,6 @@ class Runner:
             t0 = time.time()
             region_ref = self.region_ref(target)
             chrom, start, end = target.span(cfg.region_buffer)
-            records = self._region_records(chrom, start, end)
             pipe = TargetPipeline(
                 cfg,
                 target,
@@ -226,7 +259,11 @@ class Runner:
                 rmask=self.rmask,
                 normal_batch=self._normal_batch(target),
             )
-            result = pipe.run(records)
+            ext = self._columnar_extract(target)
+            if ext is not None:
+                result = pipe.run(extract_result=ext)
+            else:
+                result = pipe.run(self._region_records(chrom, start, end))
             self._annotate_other_regions(result.events)
             self.results.append(result)
             all_events.extend(result.events)
@@ -270,12 +307,17 @@ class Runner:
                 continue
             region_ref = self.region_ref(target)
             chrom, start, end = target.span(cfg.region_buffer)
-            records = self._region_records(chrom, start, end)
             pipe = TargetPipeline(
                 cfg, target, region_ref, genome=self.genome, rmask=self.rmask
             )
             pipes[name] = pipe
-            if pipe.extract_and_clean(records):
+            ext = self._columnar_extract(target)
+            ok = (
+                pipe.extract_and_clean(extract_result=ext)
+                if ext is not None
+                else pipe.extract_and_clean(self._region_records(chrom, start, end))
+            )
+            if ok:
                 packable.append((name, pipe.clean_batch, region_ref.codes))
 
         # phase B: packed device k-mer launches

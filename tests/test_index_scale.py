@@ -75,10 +75,10 @@ def test_region_fault_isolation(tmp_path, monkeypatch):
 
     real_find = pipeline_mod.TargetPipeline.find_sv_reads
 
-    def boom(self, records):
+    def boom(self, records=None, extract_result=None):
         if self.target.name == "BOOM":
             raise RuntimeError("injected fault")
-        return real_find(self, records)
+        return real_find(self, records, extract_result)
 
     monkeypatch.setattr(pipeline_mod.TargetPipeline, "find_sv_reads", boom)
     cfg = Config(

@@ -88,6 +88,61 @@ def test_fastq_decode_matches_python(tmp_path):
         assert name == py.names[i]
 
 
+def test_columnar_extraction_matches_record_path(tmp_path):
+    """extract_sv_reads_columnar must reproduce extract_sv_reads exactly
+    (batch contents, discordant map, coverage) on a mixed BAM."""
+    from breakmer_tpu.config import Config
+    from breakmer_tpu.extract import extract_sv_reads, extract_sv_reads_columnar
+    from breakmer_tpu.io.bam import BamReader, read_bam, write_bam
+    from breakmer_tpu.io.sam import SamRecord, parse_cigar
+
+    rng = np.random.default_rng(7)
+    refs = [("chr1", 50000), ("chr2", 50000)]
+
+    def rec(i, flag, cigar, pos, rnext="*", pnext=-1, tlen=0):
+        L = 100
+        seq = "".join(rng.choice(list("ACGT"), L))
+        qual = [int(x) for x in rng.integers(2, 41, L)]
+        return SamRecord(f"r{i}", flag, "chr1", pos, 60, parse_cigar(cigar),
+                         rnext, pnext, tlen, seq, qual)
+
+    records = []
+    for i in range(60):
+        kind = i % 6
+        pos = 1000 + i * 17
+        if kind == 0:
+            records.append(rec(i, 0, "100M", pos))                    # plain
+        elif kind == 1:
+            records.append(rec(i, 0, "55M45S", pos))                  # clip
+        elif kind == 2:
+            records.append(rec(i, 0x1 | 0x20, "100M", pos,
+                               rnext="chr2", pnext=3000 + i))         # disc
+        elif kind == 3:
+            records.append(rec(i, 0x1 | 0x8 | 0x40, "100M", pos))     # mate um
+        elif kind == 4:
+            records.append(rec(i, 0x4, "", pos))                      # unmapped
+        else:
+            records.append(rec(i, 0x400, "60M40S", pos))              # dup: skip
+    path = tmp_path / "mix.bam"
+    write_bam(path, refs, records)
+
+    cfg = Config()
+    region = ("chr1", 900, 2500)
+    ref_out = extract_sv_reads(read_bam(path, region=region), region, cfg)
+    reader = BamReader(path)
+    cols = native.bam_decode_columns(reader._data, reader._align_off)
+    col_out = extract_sv_reads_columnar(
+        cols, [n for n, _ in reader.refs], region, cfg)
+
+    assert col_out.n_records == ref_out.n_records
+    assert col_out.n_sv_reads == ref_out.n_sv_reads
+    assert col_out.batch.names == ref_out.batch.names
+    for i in range(len(ref_out.batch)):
+        assert col_out.batch.seq(i) == ref_out.batch.seq(i)
+    assert col_out.disc.pairs == ref_out.disc.pairs
+    np.testing.assert_array_equal(col_out.coverage, ref_out.coverage)
+
+
 def test_pack_2bit_matches_numpy():
     from breakmer_tpu.encode import pack_2bit as np_pack
 
