@@ -96,8 +96,6 @@ def unique_counts_sorted(sorted_kmers: jax.Array) -> Tuple[jax.Array, jax.Array,
     prev = jnp.concatenate([jnp.array([SENTINEL], dtype=sorted_kmers.dtype), sorted_kmers[:-1]])
     is_start = (sorted_kmers != prev) & (sorted_kmers != SENTINEL)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # start position of the run each element belongs to
-    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
     # run end = next run's start (or first sentinel position)
     valid = sorted_kmers != SENTINEL
     total_valid = jnp.sum(valid.astype(jnp.int32))

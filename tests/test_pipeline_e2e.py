@@ -30,6 +30,7 @@ def panel(tmp_path_factory):
         ("chr1", 5000, 5700, "GENE3"),
         ("chr1", 7000, 7500, "GENE4"),
         ("chr1", 9000, 9600, "GENE5"),
+        ("chr1", 10500, 11400, "GENE6"),
     ]
     with open(work / "targets.bed", "w") as fh:
         for chrom, s, e, name in targets:
@@ -60,6 +61,14 @@ def panel(tmp_path_factory):
     ])
     sam.add_haplotype_reads(hap5, 180, 420, prefix="g5r")
     sam.add_discordant_pairs("chr1", 9300, "chr2", 4000, n=5)
+
+    # GENE6: 150bp inversion of chr1:10850-11000
+    hap6 = Haplotype(genome, [
+        RefBlock("chr1", 10500, 10850),
+        RefBlock("chr1", 10850, 11000, strand="-"),
+        RefBlock("chr1", 11000, 11400),
+    ])
+    sam.add_haplotype_reads(hap6, 180, 680, prefix="g6r")
 
     # background coverage everywhere
     for chrom, s, e, name in targets:
@@ -131,6 +140,25 @@ def test_e2e_no_sv_in_clean_gene(run_events):
     assert [e for e in events if e.genes == "GENE4"] == []
 
 
+def test_e2e_inversion_called(run_events):
+    _, _, _, _, events = run_events
+    g6 = [e for e in events if e.genes == "GENE6"]
+    invs = [e for e in g6 if e.sv_subtype == "inversion"]
+    assert invs, f"no inversion: {[(e.sv_type, e.sv_subtype) for e in g6]}"
+    assert all(e.sv_type == "rearrangement" for e in invs)
+    # breakpoints may come as one (lo, hi) interval (3-segment grouping)
+    # or as per-junction positions; both ends must be located either way
+    positions = [
+        p
+        for e in invs
+        for (chrom, s_, e_) in e.breakpoints
+        for p in (s_, e_)
+        if p is not None
+    ]
+    assert any(abs(p - 10850) <= 12 for p in positions), positions
+    assert any(abs(p - 11000) <= 12 for p in positions), positions
+
+
 def test_e2e_translocation_called(run_events):
     _, _, _, _, events = run_events
     g5 = [e for e in events if e.genes == "GENE5"]
@@ -152,7 +180,7 @@ def test_e2e_output_file(run_events):
     assert out.exists()
     rows = read_svs_out(out)
     assert len(rows) == len(events)
-    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5", "GENE6"}
     for r in rows:
         assert r["contig_seq"] and r["target_breakpoints"]
 
@@ -169,7 +197,7 @@ def test_e2e_ledger_resume(panel):
     ledger_path = Path(cfg.analysis_dir) / "ledger.json"
     assert ledger_path.exists()
     ledger = json.loads(ledger_path.read_text())
-    assert set(ledger) == {"GENE1", "GENE2", "GENE3", "GENE4", "GENE5"}
+    assert set(ledger) == {"GENE1", "GENE2", "GENE3", "GENE4", "GENE5", "GENE6"}
     # resume: all targets in ledger -> no new work, no fresh events…
     runner = Runner(cfg)
     runner.setup()
@@ -179,13 +207,13 @@ def test_e2e_ledger_resume(panel):
     # …but the aggregate output is REBUILT from the ledger, not clobbered
     out = Path(cfg.analysis_dir) / "output" / "e2e_svs.out"
     rows = read_svs_out(out)
-    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5", "GENE6"}
 
 
 def test_e2e_region_cache(panel):
     work, cfg, _ = panel
     cached = list(Path(cfg.reference_data_dir).glob("*_codes.npy"))
-    assert len(cached) == 5
+    assert len(cached) == 6
 
 
 def test_cli_run(panel, tmp_path, capsys):
@@ -198,7 +226,7 @@ def test_cli_run(panel, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "SV calls written" in out
     rows = read_svs_out(tmp_path / "analysis2" / "output" / "e2e_svs.out")
-    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5"}
+    assert {r["genes"] for r in rows} == {"GENE1", "GENE2", "GENE3", "GENE5", "GENE6"}
 
 
 def test_cli_version(capsys):
