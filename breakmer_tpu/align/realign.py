@@ -103,9 +103,121 @@ def _score_windows(
     return sw_score_batch(qb, tb, params)
 
 
-def realign_contig(
-    contig_codes: np.ndarray,
-    region: RegionRef,
+@dataclasses.dataclass
+class _Work:
+    """Per-contig state across masked-requery rounds."""
+
+    masked: np.ndarray
+    region: RegionRef
+    segments: List[AlignSegment]
+    done: bool = False
+    # per-round candidate set (filled by _gather)
+    windows: List[Window] = dataclasses.field(default_factory=list)
+    window_codes: List[np.ndarray] = dataclasses.field(default_factory=list)
+    n_region_windows: int = 0
+
+
+def _gather(work: _Work, genome: Optional[GenomeIndex]) -> bool:
+    """Collect this round's candidate windows for one contig."""
+    region = work.region
+    work.windows = []
+    work.window_codes = []
+    for w in region.index.candidates(work.masked):
+        work.windows.append(
+            Window(w.t_start, w.t_end, w.strand, w.nseeds, chrom=region.chrom)
+        )
+        work.window_codes.append(region.codes[w.t_start : w.t_end])
+    work.n_region_windows = len(work.windows)
+    if genome is not None:
+        for w in genome.candidates(work.masked):
+            work.windows.append(w)
+            work.window_codes.append(
+                genome.fetch_codes(w.chrom, w.t_start, w.t_end)
+            )
+    return bool(work.windows)
+
+
+def _process_winner(
+    work: _Work,
+    best: int,
+    score: int,
+    q_end: int,
+    t_end: int,
+    params: SWParams,
+    min_seg_len: int,
+    min_identity: float,
+    min_seg_score: int,
+    full_hit_cov: float,
+    max_q_gap: int,
+) -> None:
+    """Host traceback + accept/mask for one contig's round winner;
+    updates work in place (sets done when no further rounds are useful)."""
+    L = len(work.masked)
+    region = work.region
+    if score < min_seg_score:
+        work.done = True
+        return
+    w = work.windows[best]
+    codes = work.window_codes[best]
+    is_region_window = best < work.n_region_windows
+    # the device already located the best cell; the host DP only needs the
+    # prefix up to it (exact — device/host agree bit-exactly)
+    q_or = work.masked if w.strand == "+" else revcomp_codes(work.masked)
+    qe = q_end + 1
+    te = t_end + 1
+    if 0 < qe <= len(q_or) and 0 < te <= len(codes):
+        aln_whole = traceback_align(q_or[:qe], codes[:te], params)
+    else:
+        aln_whole = traceback_align(q_or, codes, params)
+    if aln_whole.score <= 0:
+        work.done = True
+        return
+    # blat-parity: no giant query gaps inside one segment — split them
+    pieces = split_alignment(aln_whole, q_or, codes, params, max_q_gap=max_q_gap)
+    made_progress = False
+    for aln in pieces:
+        if w.strand == "+":
+            fq_start, fq_end = aln.q_start, aln.q_end
+        else:
+            fq_start, fq_end = L - aln.q_end, L - aln.q_start
+        if fq_end - fq_start < min_seg_len and (work.segments or len(pieces) > 1):
+            continue
+        genomic_off = (region.start if is_region_window else 0) + w.t_start
+        seg = AlignSegment(
+            q_start=fq_start,
+            q_end=fq_end,
+            chrom=w.chrom or region.chrom,
+            t_start=genomic_off + aln.t_start,
+            t_end=genomic_off + aln.t_end,
+            strand=w.strand,
+            score=aln.score,
+            matches=aln.matches,
+            mismatches=aln.mismatches,
+            alignment=aln,
+            in_target=is_region_window,
+        )
+        if seg.identity < min_identity:
+            continue
+        work.segments.append(seg)
+        made_progress = True
+        work.masked = work.masked.copy()
+        work.masked[fq_start:fq_end] = 4
+    if not made_progress:
+        work.done = True
+        return
+    covered = int(np.sum(work.masked >= 4))
+    if covered >= L or (L - covered) < min_seg_len:
+        work.done = True
+        return
+    if (
+        len(work.segments) == 1
+        and work.segments[0].query_coverage(L) >= full_hit_cov
+    ):
+        work.done = True
+
+
+def realign_contigs(
+    contigs: Sequence[Tuple[np.ndarray, RegionRef]],
     genome: Optional[GenomeIndex] = None,
     params: SWParams = SWParams(),
     max_segments: int = 3,
@@ -114,104 +226,81 @@ def realign_contig(
     min_seg_score: Optional[int] = None,
     full_hit_cov: float = 0.95,
     max_q_gap: int = 50,
-) -> List[AlignSegment]:
-    """Iteratively align a contig, masking accepted segments.
+) -> List[List[AlignSegment]]:
+    """Iteratively align MANY contigs, masking accepted segments — all
+    contigs advance in lockstep rounds and every round's SW scoring of
+    every (contig, candidate-window) pair across all contigs (and all
+    regions, in the panel-batched runner) is ONE device launch. On the
+    TPU relay each launch costs tens of ms of dispatch latency, so
+    per-contig launches dominated panel wall time.
 
-    Pass 1 mirrors the reference's blat-vs-region call; if the best region
-    alignment does not cover the contig (split contig) the remainder is
-    realigned — against the region again AND, when a ``genome`` index is
-    given, genome-wide (the gfServer analog) so translocation partners are
-    found. Returns segments sorted by forward-contig q_start.
+    Per-contig semantics are identical to the serial loop (the reference
+    flow, SURVEY.md §3.3: blat-vs-region, genome fallback, greedy
+    disjoint segments via query masking); results are byte-identical.
     """
-    contig_codes = np.asarray(contig_codes, dtype=np.int8)
-    L = len(contig_codes)
     if min_seg_score is None:
         min_seg_score = params.match * min_seg_len // 2
-
-    masked = contig_codes.copy()
-    segments: List[AlignSegment] = []
-
+    works = [
+        _Work(np.asarray(codes, dtype=np.int8).copy(), region, [])
+        for codes, region in contigs
+    ]
     for _ in range(max_segments):
-        if int(np.sum(masked < 4)) < min_seg_len:
+        active = [
+            wk for wk in works
+            if not wk.done and int(np.sum(wk.masked < 4)) >= min_seg_len
+        ]
+        for wk in active:
+            if not _gather(wk, genome):
+                wk.done = True
+        active = [wk for wk in active if not wk.done]
+        if not active:
             break
-        # --- candidate windows --------------------------------------------
-        windows: List[Window] = []
-        window_codes: List[np.ndarray] = []
-        for w in region.index.candidates(masked):
-            w2 = Window(w.t_start, w.t_end, w.strand, w.nseeds, chrom=region.chrom)
-            windows.append(w2)
-            window_codes.append(region.codes[w.t_start : w.t_end])
-        n_region_windows = len(windows)
-        if genome is not None:
-            for w in genome.candidates(masked):
-                windows.append(w)
-                window_codes.append(genome.fetch_codes(w.chrom, w.t_start, w.t_end))
-        if not windows:
-            break
-        # --- batched device scoring ---------------------------------------
-        scores, q_ends, t_ends = _score_windows(
-            masked, windows, window_codes, params
-        )
-        order = np.argsort(-scores, kind="stable")
-        best = int(order[0])
-        if scores[best] < min_seg_score:
-            break
-        w = windows[best]
-        codes = window_codes[best]
-        is_region_window = best < n_region_windows
-        # --- host traceback on the winner ---------------------------------
-        # the device already located the best cell; the host DP only needs
-        # the prefix up to it (exact — no cell beyond the best end can be
-        # part of the optimal local alignment, and device/host agree
-        # bit-exactly on the best cell)
-        q_or = masked if w.strand == "+" else revcomp_codes(masked)
-        qe = int(q_ends[best]) + 1
-        te = int(t_ends[best]) + 1
-        if 0 < qe <= len(q_or) and 0 < te <= len(codes):
-            aln_whole = traceback_align(q_or[:qe], codes[:te], params)
-        else:
-            aln_whole = traceback_align(q_or, codes, params)
-        if aln_whole.score <= 0:
-            break
-        # blat-parity: no giant query gaps inside one segment — split them
-        pieces = split_alignment(aln_whole, q_or, codes, params, max_q_gap=max_q_gap)
-        made_progress = False
-        for aln in pieces:
-            # forward-contig coords
-            if w.strand == "+":
-                fq_start, fq_end = aln.q_start, aln.q_end
-            else:
-                fq_start, fq_end = L - aln.q_end, L - aln.q_start
-            if fq_end - fq_start < min_seg_len and (segments or len(pieces) > 1):
-                continue
-            genomic_off = (region.start if is_region_window else 0) + w.t_start
-            seg = AlignSegment(
-                q_start=fq_start,
-                q_end=fq_end,
-                chrom=w.chrom or region.chrom,
-                t_start=genomic_off + aln.t_start,
-                t_end=genomic_off + aln.t_end,
-                strand=w.strand,
-                score=aln.score,
-                matches=aln.matches,
-                mismatches=aln.mismatches,
-                alignment=aln,
-                in_target=is_region_window,
+        # ---- ONE flat device launch over every candidate pair ------------
+        flat_q: List[np.ndarray] = []
+        flat_t: List[np.ndarray] = []
+        spans: List[Tuple[int, int]] = []  # (start, count) per work item
+        for wk in active:
+            q_rc = revcomp_codes(wk.masked)
+            spans.append((len(flat_q), len(wk.windows)))
+            for w, codes in zip(wk.windows, wk.window_codes):
+                flat_q.append(wk.masked if w.strand == "+" else q_rc)
+                flat_t.append(codes)
+        lq = pad_tier(max(len(q) for q in flat_q), (128, 256, 512, 1024))
+        lt = pad_tier(max(len(t) for t in flat_t), (256, 512, 1024, 2048))
+        B = len(flat_q)
+        qb = np.full((B, lq), 4, dtype=np.int8)
+        tb = np.full((B, lt), 4, dtype=np.int8)
+        for b in range(B):
+            qb[b, : len(flat_q[b])] = flat_q[b]
+            tb[b, : len(flat_t[b])] = flat_t[b]
+        scores, q_ends, t_ends = sw_score_batch(qb, tb, params)
+        # ---- per-contig winner processing (host) --------------------------
+        for wk, (start, count) in zip(active, spans):
+            sl = slice(start, start + count)
+            local = np.argsort(-scores[sl], kind="stable")
+            best = int(local[0])
+            _process_winner(
+                wk, best, int(scores[sl][best]),
+                int(q_ends[sl][best]), int(t_ends[sl][best]),
+                params, min_seg_len, min_identity, min_seg_score,
+                full_hit_cov, max_q_gap,
             )
-            if seg.identity < min_identity:
-                continue
-            segments.append(seg)
-            made_progress = True
-            masked = masked.copy()
-            masked[fq_start:fq_end] = 4
-        if not made_progress:
-            break
-        # a full-coverage hit (everything masked) needs no further segments
-        covered = int(np.sum(masked >= 4))
-        if covered >= L or (L - covered) < min_seg_len:
-            break
-        if len(segments) == 1 and segments[0].query_coverage(L) >= full_hit_cov:
-            break
+    out = []
+    for wk in works:
+        wk.segments.sort(key=lambda s: (s.q_start, s.q_end))
+        out.append(wk.segments)
+    return out
 
-    segments.sort(key=lambda s: (s.q_start, s.q_end))
-    return segments
+
+def realign_contig(
+    contig_codes: np.ndarray,
+    region: RegionRef,
+    genome: Optional[GenomeIndex] = None,
+    params: SWParams = SWParams(),
+    **kw,
+) -> List[AlignSegment]:
+    """Single-contig convenience wrapper over :func:`realign_contigs`
+    (one shared implementation — see there for the algorithm)."""
+    return realign_contigs(
+        [(contig_codes, region)], genome=genome, params=params, **kw
+    )[0]

@@ -16,7 +16,7 @@ from typing import Iterable, List, Optional
 import numpy as np
 
 from breakmer_tpu.align.index import GenomeIndex
-from breakmer_tpu.align.realign import RegionRef, realign_contig
+from breakmer_tpu.align.realign import RegionRef
 from breakmer_tpu.assemble.greedy import Contig, assemble
 from breakmer_tpu.call.events import SVEvent, classify_contig
 from breakmer_tpu.call.filters import apply_filters
@@ -130,9 +130,8 @@ class TargetPipeline:
         return len(self.kmer_values) > 0
 
     # -- phase 2: resolve_sv (reference: target.resolve_sv) ----------------
-    def resolve_sv(self) -> RegionResult:
-        cfg = self.cfg
-        result = RegionResult(
+    def _empty_result(self) -> RegionResult:
+        return RegionResult(
             target=self.target,
             events=[],
             all_events=[],
@@ -142,9 +141,30 @@ class TargetPipeline:
             n_clean_reads=len(self.clean_batch) if self.clean_batch else 0,
             n_sample_kmers=len(self.kmer_values) if self.kmer_values is not None else 0,
         )
+
+    def sw_params(self) -> SWParams:
+        cfg = self.cfg
+        return SWParams(
+            match=cfg.match_score,
+            mismatch=cfg.mismatch_pen,
+            gap_open=cfg.gap_open_pen,
+            gap_extend=cfg.gap_extend_pen,
+        )
+
+    def realign_opts(self) -> dict:
+        cfg = self.cfg
+        return dict(
+            min_seg_len=min(cfg.trl_min_seg_len, cfg.rearr_min_seg_len),
+            min_identity=cfg.min_identity,
+            full_hit_cov=cfg.full_hit_cov,
+        )
+
+    def assemble_contigs(self) -> List[Contig]:
+        cfg = self.cfg
         if self.kmer_values is None or len(self.kmer_values) == 0:
-            return result
-        contigs = assemble(
+            self.contigs: List[Contig] = []
+            return self.contigs
+        self.contigs = assemble(
             self.kmer_values,
             self.kmer_counts,
             self.clean_batch,
@@ -153,25 +173,13 @@ class TargetPipeline:
             min_contig_len=cfg.min_contig_len,
             contig_id_prefix=f"{self.target.name}_contig",
         )
-        result.contigs = contigs
-        params = SWParams(
-            match=cfg.match_score,
-            mismatch=cfg.mismatch_pen,
-            gap_open=cfg.gap_open_pen,
-            gap_extend=cfg.gap_extend_pen,
-        )
-        for contig in contigs:
-            from breakmer_tpu.encode import encode_seq
+        return self.contigs
 
-            segs = realign_contig(
-                encode_seq(contig.seq),
-                self.region_ref,
-                genome=self.genome,
-                params=params,
-                min_seg_len=min(cfg.trl_min_seg_len, cfg.rearr_min_seg_len),
-                min_identity=cfg.min_identity,
-                full_hit_cov=cfg.full_hit_cov,
-            )
+    def classify_contigs(self, segs_per_contig) -> RegionResult:
+        cfg = self.cfg
+        result = self._empty_result()
+        result.contigs = self.contigs
+        for contig, segs in zip(self.contigs, segs_per_contig):
             if not segs:
                 continue
             events = classify_contig(
@@ -191,6 +199,22 @@ class TargetPipeline:
             result.all_events, cfg, rmask=self.rmask, target=self.target
         )
         return result
+
+    def resolve_sv(self) -> RegionResult:
+        from breakmer_tpu.align.realign import realign_contigs
+        from breakmer_tpu.encode import encode_seq
+
+        contigs = self.assemble_contigs()
+        if not contigs:
+            return self._empty_result()
+        # one device launch per round for ALL of this region's contigs
+        segs_per_contig = realign_contigs(
+            [(encode_seq(c.seq), self.region_ref) for c in contigs],
+            genome=self.genome,
+            params=self.sw_params(),
+            **self.realign_opts(),
+        )
+        return self.classify_contigs(segs_per_contig)
 
     # -- one-call driver (reference: target.complete_analysis) -------------
     def run(

@@ -327,13 +327,45 @@ class Runner:
                 run_kmer_batch(batch, cfg.kmer_size, cfg.min_kmer_count)
             )
 
-        # phase C: per-region resolve (assemble -> realign -> call)
+        # phase C: assemble all regions (host), then realign EVERY contig
+        # of the panel in lockstep batched device launches, then classify
+        from breakmer_tpu.align.realign import realign_contigs
+        from breakmer_tpu.encode import encode_seq
+
+        t0c = time.time()
+        items = []
+        item_owner = []
         for name, pipe in pipes.items():
-            t0 = time.time()
             if name in kmers_by_region:
                 pipe.set_kmers(*kmers_by_region[name])
             try:
-                result = pipe.resolve_sv()
+                for contig in pipe.assemble_contigs():
+                    items.append((encode_seq(contig.seq), pipe.region_ref))
+                    item_owner.append(name)
+            except Exception as exc:
+                log.exception("target %s assembly failed", name)
+                pipe.contigs = []
+                pipe._assembly_error = f"{type(exc).__name__}: {exc}"
+        segs_all = []
+        if items:
+            any_pipe = next(iter(pipes.values()))
+            segs_all = realign_contigs(
+                items, genome=self.genome, params=any_pipe.sw_params(),
+                **any_pipe.realign_opts(),
+            )
+        log.info(
+            "panel realign: %d contigs in %.2fs", len(items), time.time() - t0c
+        )
+        segs_by_region: Dict[str, list] = {name: [] for name in pipes}
+        for owner, segs in zip(item_owner, segs_all):
+            segs_by_region[owner].append(segs)
+
+        for name, pipe in pipes.items():
+            t0 = time.time()
+            try:
+                if getattr(pipe, "_assembly_error", None):
+                    raise RuntimeError(pipe._assembly_error)
+                result = pipe.classify_contigs(segs_by_region[name])
             except Exception as exc:  # region-level fault isolation
                 log.exception("target %s failed", name)
                 result = RegionResult(

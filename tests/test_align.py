@@ -188,3 +188,31 @@ def test_realign_nothing():
     region = _region_ref(_rand(12, 500))
     segs = realign_contig(encode_seq(_rand(77, 100)), region)
     assert segs == []
+
+
+def test_realign_contigs_batched_equals_individual():
+    """Lockstep batching across contigs (one device launch per round) must
+    be byte-identical to per-contig realignment."""
+    from breakmer_tpu.align.realign import realign_contigs
+
+    ref1 = _rand(6, 600)
+    ref2 = _rand(8, 900)
+    r1 = _region_ref(ref1, start=1000)
+    r2 = _region_ref(ref2, start=0)
+    ins = "TTGACCATGGATCCGGTACA"
+    contigs = [
+        (encode_seq(ref1[200:340]), r1),                          # full hit
+        (encode_seq(ref1[200:280] + ins + ref1[280:360]), r1),    # indel
+        (encode_seq(ref2[100:250] + ref2[550:700]), r2),          # split del
+        (encode_seq(_rand(77, 100)), r1),                         # nothing
+    ]
+    batched = realign_contigs(contigs)
+    single = [realign_contig(c, r) for c, r in contigs]
+    for b_segs, s_segs in zip(batched, single):
+        assert len(b_segs) == len(s_segs)
+        for b, s in zip(b_segs, s_segs):
+            assert (b.q_start, b.q_end, b.chrom, b.t_start, b.t_end,
+                    b.strand, b.score) == (
+                s.q_start, s.q_end, s.chrom, s.t_start, s.t_end,
+                s.strand, s.score)
+            assert b.alignment.ops == s.alignment.ops
