@@ -94,10 +94,13 @@ def _sw_kernel(
     bd[:] = zero
     # diagonal 0 target stream: t[0-i] -> only i=0 is a real base
     tj[:] = jnp.where(is0, t_ref[:, 0:1], 4)
-    # rotating target: column 0 always holds the NEXT stream base t[:, d+1]
+    # rotating target: at unroll-iteration ``it``, column u holds the
+    # stream fill t[:, it*U + u + 1]. One big rotate per U steps
+    # (amortized ~Lt/U vreg-rolls per step instead of Lt — the per-step
+    # whole-target roll was 35% of kernel time)
     trot[:] = pltpu.roll(t_ref[:], Lt - 1, 1)  # rotate left by 1
 
-    def one_step(d, h_prev, h_prev2, h_out):
+    def one_step(d, u, h_prev, h_prev2, h_out):
         isj0 = col == d
         d_dt = jnp.asarray(d, jnp.int32).astype(dt)
         tj_cur = tj[:]
@@ -125,20 +128,27 @@ def _sw_kernel(
         ed1[:] = e_new
         fd1[:] = f_new
         # advance the target stream: tj_{d+1}[i] = tj_d[i-1], new = t[d+1]
-        fill = jnp.where(d + 1 < Lt, trot[:, 0:1], 4)
+        # (static lane slice u of the rotated block — no dynamic indexing)
+        fill = jnp.where(d + 1 < Lt, trot[:, u : u + 1], 4)
         tj[:] = _shift_right(tj_cur, is0, fill)
-        trot[:] = pltpu.roll(trot[:], Lt - 1, 1)
 
-    def two_steps(k2, _):
-        d0 = 2 * k2
-        one_step(d0, hd1, hd2, hd2)      # h[d0] overwrites h[d0-2]
-        one_step(d0 + 1, hd2, hd1, hd1)  # h[d0+1] overwrites h[d0-1]
+    U = 8  # unrolled steps per loop iteration (even: ping-pong pairs)
+
+    def u_steps(it, _):
+        base = it * U
+        for u in range(U):  # static unroll
+            if u % 2 == 0:
+                one_step(base + u, u, hd1, hd2, hd2)
+            else:
+                one_step(base + u, u, hd2, hd1, hd1)
+        trot[:] = pltpu.roll(trot[:], Lt - U, 1)  # rotate left by U
         return 0
 
-    # an odd trailing phantom step (d = steps) is harmless: its target
-    # stream is all-pad, so its H values are gap-chain-bounded strictly
-    # below an earlier in-bounds cell and never pass the > update
-    jax.lax.fori_loop(0, (Lq + Lt) // 2, two_steps, 0)
+    # trailing phantom steps (d >= Lq+Lt-1) are harmless: their target
+    # stream is all-pad, so every H they produce is gap-chain-bounded
+    # strictly below an earlier in-bounds cell and never passes the >
+    # update (dpad covers the padded step count)
+    jax.lax.fori_loop(0, (Lq + Lt - 1 + U - 1) // U, u_steps, 0)
 
     bh32 = bh[:].astype(jnp.int32)
     bd32 = bd[:].astype(jnp.int32)
