@@ -111,6 +111,10 @@ class _Work:
     region: RegionRef
     segments: List[AlignSegment]
     done: bool = False
+    # reference two-pass structure (SURVEY.md §3.3): pass 1 is blat vs the
+    # region only; the whole-genome index (gfServer analog) joins from the
+    # second pass, or immediately when the region yields no candidates
+    use_genome: bool = False
     # per-round candidate set (filled by _gather)
     windows: List[Window] = dataclasses.field(default_factory=list)
     window_codes: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -154,9 +158,6 @@ def _process_winner(
     updates work in place (sets done when no further rounds are useful)."""
     L = len(work.masked)
     region = work.region
-    if score < min_seg_score:
-        work.done = True
-        return
     w = work.windows[best]
     codes = work.window_codes[best]
     is_region_window = best < work.n_region_windows
@@ -244,13 +245,21 @@ def realign_contigs(
         _Work(np.asarray(codes, dtype=np.int8).copy(), region, [])
         for codes, region in contigs
     ]
-    for _ in range(max_segments):
+    # bound: max_segments acceptance rounds + possible genome-retry rounds
+    for _round in range(2 * max_segments + 1):
         active = [
             wk for wk in works
-            if not wk.done and int(np.sum(wk.masked < 4)) >= min_seg_len
+            if not wk.done
+            and len(wk.segments) < max_segments
+            and int(np.sum(wk.masked < 4)) >= min_seg_len
         ]
         for wk in active:
-            if not _gather(wk, genome):
+            gathered = _gather(wk, genome if wk.use_genome else None)
+            if not gathered and not wk.use_genome and genome is not None:
+                # region pass empty -> go genome-wide right away
+                wk.use_genome = True
+                gathered = _gather(wk, genome)
+            if not gathered:
                 wk.done = True
         active = [wk for wk in active if not wk.done]
         if not active:
@@ -279,12 +288,20 @@ def realign_contigs(
             sl = slice(start, start + count)
             local = np.argsort(-scores[sl], kind="stable")
             best = int(local[0])
+            if int(scores[sl][best]) < min_seg_score:
+                if genome is not None and not wk.use_genome:
+                    wk.use_genome = True  # retry genome-wide next round
+                else:
+                    wk.done = True
+                continue
             _process_winner(
                 wk, best, int(scores[sl][best]),
                 int(q_ends[sl][best]), int(t_ends[sl][best]),
                 params, min_seg_len, min_identity, min_seg_score,
                 full_hit_cov, max_q_gap,
             )
+            # pass 2 and later consult the genome (reference gfClient leg)
+            wk.use_genome = genome is not None
     out = []
     for wk in works:
         wk.segments.sort(key=lambda s: (s.q_start, s.q_end))
