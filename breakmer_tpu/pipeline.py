@@ -71,6 +71,10 @@ class TargetPipeline:
         self.clean_batch: Optional[ReadBatch] = None
         self.kmer_values: Optional[np.ndarray] = None
         self.kmer_counts: Optional[np.ndarray] = None
+        # optional genome-wide depth callback (chrom, pos) -> int for
+        # breakpoints outside the region (e.g. translocation partners);
+        # the region's own coverage array takes precedence
+        self.global_coverage_at = None
 
     # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
     def extract_and_clean(
@@ -175,6 +179,15 @@ class TargetPipeline:
         )
         return self.contigs
 
+    def _coverage_at(self, chrom: str, pos: int) -> int:
+        if self.extract_result is not None:
+            depth = self.extract_result.coverage_at(chrom, pos)
+            if depth:
+                return depth
+        if self.global_coverage_at is not None:
+            return self.global_coverage_at(chrom, pos)
+        return 0
+
     def classify_contigs(self, segs_per_contig) -> RegionResult:
         cfg = self.cfg
         result = self._empty_result()
@@ -188,11 +201,7 @@ class TargetPipeline:
                 self.target.name,
                 cfg,
                 disc=self.extract_result.disc if self.extract_result else None,
-                coverage_at=(
-                    self.extract_result.coverage_at
-                    if self.extract_result
-                    else None
-                ),
+                coverage_at=self._coverage_at,
             )
             result.all_events.extend(events)
         result.events = apply_filters(

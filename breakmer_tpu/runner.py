@@ -214,6 +214,62 @@ class Runner:
         region = (chrom, start, end)
         return (r for r in self._sample_records if record_overlaps(r, region))
 
+    # -- genome-wide depth for off-region breakpoints -----------------------
+    def _global_coverage_at(self, chrom: str, pos: int) -> int:
+        """Depth at any genomic position from the preloaded alignments —
+        serves breakpoints outside the region window (e.g. translocation
+        partner loci), which the region coverage array cannot see."""
+        if self._native_cols is not None:
+            cols, ref_names = self._native_cols
+            if chrom not in ref_names or not cols.get("n"):
+                return 0
+            rid = ref_names.index(chrom)
+            mask = (
+                (cols["refid"] == rid)
+                & ((cols["flag"] & (0x4 | 0x100 | 0x800)) == 0)
+                & (cols["pos"] <= pos)
+                & (cols["pos"] + cols["ref_span"] > pos)
+            )
+            return int(mask.sum())
+        if self._sample_records is not None:
+            return sum(
+                1
+                for r in self._sample_records
+                if not r.is_unmapped
+                and not r.is_secondary
+                and not r.is_supplementary
+                and r.rname == chrom
+                and r.pos <= pos < r.reference_end()
+            )
+        return 0
+
+    # -- per-target intermediates (reference keeps these as the de-facto
+    # debugging fixtures: sv fastq, kmer dumps, contig fastas — SURVEY.md §4)
+    def _write_intermediates(self, name: str, pipe: TargetPipeline, result) -> None:
+        from breakmer_tpu.io.fastq import write_fastq
+        from breakmer_tpu.ops.kmer import kmer_to_str
+
+        base = Path(self.cfg.analysis_dir) / "targets" / name
+        (base / "data").mkdir(parents=True, exist_ok=True)
+        (base / "kmers").mkdir(exist_ok=True)
+        (base / "contigs").mkdir(exist_ok=True)
+        if pipe.extract_result is not None and len(pipe.extract_result.batch):
+            write_fastq(base / "data" / "sv_reads.fastq", pipe.extract_result.batch)
+        if pipe.clean_batch is not None and len(pipe.clean_batch):
+            write_fastq(base / "data" / "clean_reads.fastq", pipe.clean_batch)
+        if pipe.kmer_values is not None and len(pipe.kmer_values):
+            k = self.cfg.kmer_size
+            with open(base / "kmers" / "sample_kmers.out", "w") as fh:
+                for v, c in zip(pipe.kmer_values, pipe.kmer_counts):
+                    fh.write(f"{kmer_to_str(int(v), k)}\t{int(c)}\n")
+        if result.contigs:
+            from breakmer_tpu.io.fasta import write_fasta
+
+            write_fasta(
+                base / "contigs" / "contigs.fa",
+                {c.id: c.seq for c in result.contigs},
+            )
+
     # -- normal reads for kmer subtraction ---------------------------------
     def _normal_batch(self, target: TargetRegion) -> Optional[ReadBatch]:
         cfg = self.cfg
@@ -259,12 +315,15 @@ class Runner:
                 rmask=self.rmask,
                 normal_batch=self._normal_batch(target),
             )
+            pipe.global_coverage_at = self._global_coverage_at
             ext = self._columnar_extract(target)
             if ext is not None:
                 result = pipe.run(extract_result=ext)
             else:
                 result = pipe.run(self._region_records(chrom, start, end))
             self._annotate_other_regions(result.events)
+            if cfg.keep_intermediates:
+                self._write_intermediates(name, pipe, result)
             self.results.append(result)
             all_events.extend(result.events)
             log.info(
@@ -310,6 +369,7 @@ class Runner:
             pipe = TargetPipeline(
                 cfg, target, region_ref, genome=self.genome, rmask=self.rmask
             )
+            pipe.global_coverage_at = self._global_coverage_at
             pipes[name] = pipe
             ext = self._columnar_extract(target)
             ok = (
@@ -373,6 +433,8 @@ class Runner:
                     error=f"{type(exc).__name__}: {exc}",
                 )
             self._annotate_other_regions(result.events)
+            if cfg.keep_intermediates:
+                self._write_intermediates(name, pipe, result)
             self.results.append(result)
             all_events.extend(result.events)
             log.info(

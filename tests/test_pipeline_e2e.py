@@ -174,6 +174,40 @@ def test_e2e_translocation_called(run_events):
     assert ev.split_read_count >= 2
 
 
+def test_e2e_global_coverage_fallback(run_events):
+    """Depth queries outside the target region (translocation partner
+    locus) are served from the preloaded alignments."""
+    _, _, _, runner, _ = run_events
+    # chr2 partner locus: mates + partner-anchored reads pile up past 4006
+    assert runner._global_coverage_at("chr2", 4050) > 0
+    assert runner._global_coverage_at("chr2", 7900) == 0
+    assert runner._global_coverage_at("chrX", 100) == 0
+
+
+def test_e2e_keep_intermediates(panel, tmp_path):
+    """keep_intermediates writes the reference's debugging fixtures:
+    sv/clean fastq, kmer dump, contig fasta per target (SURVEY.md §4)."""
+    work, cfg, INS = panel
+    cfg2 = Config(**{**cfg.__dict__,
+                     "keep_intermediates": True,
+                     "analysis_dir": str(tmp_path / "analysis_keep")})
+    runner = Runner(cfg2)
+    runner.setup()
+    runner.run()
+    base = Path(cfg2.analysis_dir) / "targets" / "GENE1"
+    assert (base / "data" / "sv_reads.fastq").exists()
+    assert (base / "data" / "clean_reads.fastq").exists()
+    assert (base / "kmers" / "sample_kmers.out").exists()
+    assert (base / "contigs" / "contigs.fa").exists()
+    from breakmer_tpu.io.fasta import read_fasta
+
+    contigs = read_fasta(base / "contigs" / "contigs.fa")
+    assert any(INS in seq for seq in contigs.values())
+    kline = (base / "kmers" / "sample_kmers.out").read_text().splitlines()[0]
+    km, count = kline.split("\t")
+    assert len(km) == cfg2.kmer_size and int(count) >= cfg2.min_kmer_count
+
+
 def test_e2e_output_file(run_events):
     work, cfg, _, _, events = run_events
     out = Path(cfg.analysis_dir) / "output" / "e2e_svs.out"
