@@ -67,8 +67,18 @@ def check_event(
     cfg: Config,
     rmask: Optional[RepeatMask] = None,
     target: Optional[TargetRegion] = None,
+    user_filter: Optional[RepeatMask] = None,
 ) -> Optional[str]:
-    """Returns a rejection reason or None if the event passes."""
+    """Returns a rejection reason or None if the event passes.
+
+    ``user_filter`` is the reference's filter_list (SURVEY.md §2 #14
+    [UNCERTAIN exact semantics] — pinned here as: suppress any event with
+    a breakpoint inside a listed interval)."""
+    if user_filter is not None:
+        for chrom, start, end in ev.breakpoints:
+            for pos in (start,) + ((end,) if end is not None else ()):
+                if user_filter.contains(chrom, pos):
+                    return f"user_filter:{chrom}:{pos}"
     if ev.split_read_count < _sr_thresh(cfg, ev.sv_type):
         return (
             f"split_read_support:{ev.split_read_count}<"
@@ -100,11 +110,12 @@ def apply_filters(
     cfg: Config,
     rmask: Optional[RepeatMask] = None,
     target: Optional[TargetRegion] = None,
+    user_filter: Optional[RepeatMask] = None,
 ) -> List[SVEvent]:
     """Annotate every event with its filter outcome; return the passers."""
     passed: List[SVEvent] = []
     for ev in events:
-        reason = check_event(ev, cfg, rmask, target)
+        reason = check_event(ev, cfg, rmask, target, user_filter)
         ev.filter_reason = reason
         if reason is None:
             passed.append(ev)

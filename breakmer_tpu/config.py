@@ -29,6 +29,8 @@ class Config:
     repeat_mask_file: Optional[str] = None
     other_regions_file: Optional[str] = None
     gene_list: Optional[str] = None           # restrict to these targets
+    filter_list: Optional[str] = None         # BED of intervals whose calls
+                                              # are suppressed (user filter)
 
     # --- k-mer engine (reference: utils.py run_jellyfish + target.compare_kmers)
     kmer_size: int = 15            # reference default k=15
@@ -92,6 +94,33 @@ class Config:
     # --- misc -------------------------------------------------------------
     log_level: str = "INFO"
     keep_intermediates: bool = False
+
+    REQUIRED_FOR_RUN = (
+        "targets_bed_file", "reference_fasta", "sample_bam_file",
+    )
+
+    def validate(self) -> None:
+        """Fail fast with a clear message before any work starts."""
+        from pathlib import Path
+
+        missing = [k for k in self.REQUIRED_FOR_RUN if not getattr(self, k)]
+        if missing:
+            raise ValueError(
+                f"config missing required settings: {', '.join(missing)}"
+            )
+        for key in (
+            "targets_bed_file", "reference_fasta", "sample_bam_file",
+            "normal_bam_file", "repeat_mask_file", "other_regions_file",
+            "gene_list", "filter_list",
+        ):
+            val = getattr(self, key)
+            if val and not Path(val).exists():
+                raise FileNotFoundError(f"config {key}: no such file: {val}")
+        if self.kmer_size < self.seed_kmer_size:
+            raise ValueError(
+                f"kmer_size ({self.kmer_size}) must be >= seed_kmer_size "
+                f"({self.seed_kmer_size})"
+            )
 
     def get_param(self, key: str, default=None):
         """Reference-parity accessor (breakmer.py params.get_param)."""

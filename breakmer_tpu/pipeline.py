@@ -66,6 +66,7 @@ class TargetPipeline:
         self.region_ref = region_ref
         self.genome = genome
         self.rmask = rmask
+        self.user_filter = None  # RepeatMask-style interval set (filter_list)
         self.normal_batch = normal_batch
         self.extract_result: Optional[ExtractResult] = None
         self.clean_batch: Optional[ReadBatch] = None
@@ -205,7 +206,8 @@ class TargetPipeline:
             )
             result.all_events.extend(events)
         result.events = apply_filters(
-            result.all_events, cfg, rmask=self.rmask, target=self.target
+            result.all_events, cfg, rmask=self.rmask, target=self.target,
+            user_filter=self.user_filter,
         )
         return result
 

@@ -49,6 +49,7 @@ class Runner:
         self.rmask: Optional[RepeatMask] = None
         self.results: List[RegionResult] = []
         self.other_regions: Dict[str, TargetRegion] = {}
+        self.user_filter: Optional[RepeatMask] = None
         self._sample_records: Optional[list] = None
         self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
@@ -56,6 +57,7 @@ class Runner:
     # -- setup (reference: runner.__init__ + start_blat_server) ------------
     def setup(self) -> None:
         cfg = self.cfg
+        cfg.validate()
         setup_logger(cfg.analysis_dir, cfg.log_level)
         from breakmer_tpu.device import configure
 
@@ -120,6 +122,10 @@ class Runner:
             self.rmask = RepeatMask.from_bed(cfg.repeat_mask_file)
         if cfg.other_regions_file:
             self.other_regions = read_targets_bed(cfg.other_regions_file)
+        if cfg.filter_list:
+            # user filter_list: calls with breakpoints in these intervals
+            # are suppressed (reference: sv_caller filter_list)
+            self.user_filter = RepeatMask.from_bed(cfg.filter_list)
 
     # -- reference data (reference: preset_ref_data / set_ref_data) --------
     def region_ref(self, target: TargetRegion) -> RegionRef:
@@ -316,6 +322,7 @@ class Runner:
                 normal_batch=self._normal_batch(target),
             )
             pipe.global_coverage_at = self._global_coverage_at
+            pipe.user_filter = self.user_filter
             ext = self._columnar_extract(target)
             if ext is not None:
                 result = pipe.run(extract_result=ext)
@@ -370,6 +377,7 @@ class Runner:
                 cfg, target, region_ref, genome=self.genome, rmask=self.rmask
             )
             pipe.global_coverage_at = self._global_coverage_at
+            pipe.user_filter = self.user_filter
             pipes[name] = pipe
             ext = self._columnar_extract(target)
             ok = (

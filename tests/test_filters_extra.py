@@ -1,0 +1,80 @@
+"""filter_list (user exclusion), config validation, multi-indel contig."""
+
+import random
+
+import pytest
+
+from breakmer_tpu.align import realign_contig
+from breakmer_tpu.align.realign import RegionRef
+from breakmer_tpu.call import classify_contig
+from breakmer_tpu.call.filters import check_event
+from breakmer_tpu.config import Config
+from breakmer_tpu.encode import encode_seq
+from breakmer_tpu.utils.rmask import RepeatMask
+from tests.test_call import _cfg, _contig_with_reads, _dummy_event
+
+
+def _rand(seed, n):
+    rng = random.Random(seed)
+    return "".join(rng.choice("ACGT") for _ in range(n))
+
+
+def test_user_filter_suppresses_event():
+    cfg = _cfg()
+    uf = RepeatMask({"chr1": [(90, 120)]})
+    ev = _dummy_event(breakpoints=[("chr1", 100, None)])
+    reason = check_event(ev, cfg, user_filter=uf)
+    assert reason and reason.startswith("user_filter")
+    ev2 = _dummy_event(breakpoints=[("chr1", 500, None)])
+    assert check_event(ev2, cfg, user_filter=uf) is None
+
+
+def test_config_validate_missing():
+    cfg = Config()
+    with pytest.raises(ValueError, match="targets_bed_file"):
+        cfg.validate()
+
+
+def test_config_validate_bad_path(tmp_path):
+    (tmp_path / "t.bed").write_text("chr1\t0\t10\tG\n")
+    (tmp_path / "g.fa").write_text(">chr1\nACGT\n")
+    cfg = Config(
+        targets_bed_file=str(tmp_path / "t.bed"),
+        reference_fasta=str(tmp_path / "g.fa"),
+        sample_bam_file=str(tmp_path / "nope.sam"),
+    )
+    with pytest.raises(FileNotFoundError, match="sample_bam_file"):
+        cfg.validate()
+
+
+def test_config_validate_kmer_sizes(tmp_path):
+    (tmp_path / "t.bed").write_text("chr1\t0\t10\tG\n")
+    (tmp_path / "g.fa").write_text(">chr1\nACGT\n")
+    (tmp_path / "s.sam").write_text("")
+    cfg = Config(
+        targets_bed_file=str(tmp_path / "t.bed"),
+        reference_fasta=str(tmp_path / "g.fa"),
+        sample_bam_file=str(tmp_path / "s.sam"),
+        kmer_size=9, seed_kmer_size=11,
+    )
+    with pytest.raises(ValueError, match="kmer_size"):
+        cfg.validate()
+
+
+def test_two_indels_one_contig():
+    """Two well-separated gaps in one alignment -> two indel events."""
+    ref = _rand(71, 900)
+    ins1 = "TTGACCATGGATCCGGTACA"
+    contig_seq = (
+        ref[200:300] + ins1 + ref[300:420] + ref[460:560]  # ins + 40bp del
+    )
+    contig = _contig_with_reads(contig_seq)
+    segs = realign_contig(encode_seq(contig_seq), RegionRef.build("chr1", 0, encode_seq(ref)))
+    assert len(segs) == 1
+    events = classify_contig(contig, segs, "G", _cfg())
+    kinds = sorted((e.sv_type, e.sv_subtype) for e in events)
+    assert kinds == [("indel", "D"), ("indel", "I")]
+    by_kind = {e.sv_subtype: e for e in events}
+    assert by_kind["I"].size == len(ins1)
+    assert by_kind["D"].size == 40
+    assert abs(by_kind["D"].breakpoints[0][1] - 420) <= 2
