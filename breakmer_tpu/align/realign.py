@@ -82,27 +82,6 @@ class AlignSegment:
         return self.q_span / contig_len if contig_len else 0.0
 
 
-def _score_windows(
-    q_fwd: np.ndarray,
-    windows: Sequence[Window],
-    window_codes: Sequence[np.ndarray],
-    params: SWParams,
-):
-    """Batched device SW over all candidate windows; returns
-    (scores, q_ends, t_ends) — the ends let the host traceback clip its
-    DP to the winning cell's prefix."""
-    q_rc = revcomp_codes(q_fwd)
-    lq = pad_tier(len(q_fwd), (128, 256, 512, 1024))
-    lt = pad_tier(max(len(c) for c in window_codes), (256, 512, 1024, 2048))
-    B = len(windows)
-    qb = np.full((B, lq), 4, dtype=np.int8)
-    tb = np.full((B, lt), 4, dtype=np.int8)
-    for b, (w, codes) in enumerate(zip(windows, window_codes)):
-        qb[b, : len(q_fwd)] = q_fwd if w.strand == "+" else q_rc
-        tb[b, : len(codes)] = codes
-    return sw_score_batch(qb, tb, params)
-
-
 @dataclasses.dataclass
 class _Work:
     """Per-contig state across masked-requery rounds."""

@@ -11,7 +11,7 @@ support an event when the two mates land near the two breakpoints.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 from breakmer_tpu.assemble.greedy import Contig
 

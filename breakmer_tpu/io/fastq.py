@@ -9,7 +9,7 @@ become a packed :class:`breakmer_tpu.encode.ReadBatch` immediately.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, List, Optional, Tuple
+from typing import List
 
 from breakmer_tpu.encode import ReadBatch
 

@@ -10,7 +10,7 @@ device analog of the reference's multiprocessing pool (SURVEY.md §2b).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import numpy as np

@@ -9,7 +9,7 @@ reference columns.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 from breakmer_tpu.call.events import SVEvent
 

@@ -29,7 +29,7 @@ from breakmer_tpu.call.events import SVEvent
 from breakmer_tpu.config import Config
 from breakmer_tpu.encode import ReadBatch, encode_seq
 from breakmer_tpu.io.bed import TargetRegion, read_targets_bed
-from breakmer_tpu.io.fasta import FastaIndex, read_fasta
+from breakmer_tpu.io.fasta import FastaIndex
 from breakmer_tpu.io.bam import read_alignments
 from breakmer_tpu.io.sam import record_overlaps
 from breakmer_tpu.pipeline import RegionResult, TargetPipeline
