@@ -27,8 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 # Sentinel for invalid/padded kmer slots: max uint32, sorts after any real
-# 2k-bit code (codes use at most 30 bits for k<=15).
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# 2k-bit code (codes use at most 30 bits for k<=15). A NumPy scalar,
+# NOT a jnp scalar: a module-level jax array would be created on the
+# DEFAULT backend at import time (the axon TPU in this image, since the
+# CLI configures the CPU backend only after imports) and then every CPU
+# jit lowering that captures it round-trips the TPU relay to fetch the
+# constant — observed as multi-minute "compiles" with ~0 CPU time.
+# (A bare Python int doesn't work either: weak typing overflows int32
+# at `jnp.where(..., SENTINEL)` use sites.)
+SENTINEL = np.uint32(0xFFFFFFFF)
 MAX_K_U32 = 15
 
 

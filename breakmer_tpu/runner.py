@@ -388,11 +388,30 @@ class Runner:
             if ok:
                 packable.append((name, pipe.clean_batch, region_ref.codes))
 
-        # phase B: packed device k-mer launches
+        # phase B: packed device k-mer launches — sharded over the local
+        # device mesh when more than one device is attached (the product
+        # path of the multi-chip design, same code the dryrun compiles)
+        import jax
+
+        mesh = None
+        if len(jax.devices()) > 1:
+            from breakmer_tpu.parallel.mesh import make_mesh_2d
+
+            mesh = make_mesh_2d()
+            log.info(
+                "kmer batch sharded over %d devices (%s)",
+                mesh.devices.size, "x".join(map(str, mesh.devices.shape)),
+            )
+        # batch G must divide evenly over the mesh regions axis
+        rpb = 8
+        if mesh is not None:
+            r_axis = mesh.devices.shape[0]
+            rpb = r_axis * max(1, rpb // r_axis)
         kmers_by_region: Dict[str, tuple] = {}
-        for batch in pack_region_batches(packable):
+        for batch in pack_region_batches(packable, regions_per_batch=rpb):
             kmers_by_region.update(
-                run_kmer_batch(batch, cfg.kmer_size, cfg.min_kmer_count)
+                run_kmer_batch(batch, cfg.kmer_size, cfg.min_kmer_count,
+                               mesh=mesh)
             )
 
         # phase C: assemble all regions (host), then realign EVERY contig
