@@ -344,12 +344,27 @@ class Runner:
             )
             ledger[name] = {
                 "rows": [event_row(ev) for ev in result.events],
+                "vcf": self._vcf_records(name, result.events),
                 "error": result.error,
                 "elapsed_s": round(time.time() - t0, 3),
                 "stats": _region_stats(result),
             }
             self._save_ledger(ledger)
         return self._finalize(ledger, all_events, t_start)
+
+    def _vcf_records(self, region: str, events: List[SVEvent]) -> List[dict]:
+        """VCF record dicts for a region's calls, stored in the ledger so
+        resumed regions keep their VCF rows (breakmer_tpu/vcf.py)."""
+        from breakmer_tpu.vcf import event_vcf_records
+
+        ref_base_at = None
+        if self.fasta is not None:
+            ref_base_at = lambda c, p: self.fasta.fetch(c, p - 1, p)
+        recs: List[dict] = []
+        for i, ev in enumerate(events, 1):
+            rid = f"{self.cfg.analysis_name}_{region}_{i}"
+            recs.extend(event_vcf_records(ev, rid, ref_base_at))
+        return recs
 
     def _run_batched(self, resume: bool) -> List[SVEvent]:
         """Config #3 path: the whole panel's k-mer stage in packed
@@ -473,6 +488,7 @@ class Runner:
             )
             ledger[name] = {
                 "rows": [event_row(ev) for ev in result.events],
+                "vcf": self._vcf_records(name, result.events),
                 "error": result.error,
                 "elapsed_s": round(time.time() - t0, 3),
                 "stats": _region_stats(result),
@@ -521,6 +537,20 @@ class Runner:
         out = Path(cfg.analysis_dir) / "output" / f"{cfg.analysis_name}_svs.out"
         write_svs_rows(out, all_rows)
         self.total_calls = len(all_rows)
+        from breakmer_tpu.vcf import write_vcf
+
+        vcf_recs = [
+            rec for name in order for rec in ledger.get(name, {}).get("vcf", [])
+        ]
+        contigs = (
+            [(n, self.fasta.length(n)) for n in self.fasta.names]
+            if self.fasta is not None else []
+        )
+        write_vcf(
+            Path(cfg.analysis_dir) / "output" / f"{cfg.analysis_name}.vcf",
+            vcf_recs, contigs=contigs, sample=cfg.analysis_name,
+            reference=cfg.reference_fasta,
+        )
         # structured per-stage counters (SURVEY.md §5 observability — the
         # reference exposes these only as log prose)
         metrics = {

@@ -219,6 +219,36 @@ def test_e2e_output_file(run_events):
         assert r["contig_seq"] and r["target_breakpoints"]
 
 
+def test_e2e_vcf_output(run_events):
+    work, cfg, INS, _, events = run_events
+    from breakmer_tpu.vcf import read_vcf
+
+    vcf = Path(cfg.analysis_dir) / "output" / "e2e.vcf"
+    assert vcf.exists()
+    rows = read_vcf(vcf)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["info"]["SVTYPE"], []).append(r)
+    ins = [r for r in by_type.get("INS", []) if r["info"]["GENES"] == "GENE1"]
+    assert ins and int(ins[0]["info"]["SVLEN"]) == len(INS)
+    assert abs(ins[0]["pos"] - 1300) <= 2
+    dele = [r for r in by_type.get("DEL", []) if r["info"]["GENES"] == "GENE2"]
+    assert dele
+    assert abs(dele[0]["pos"] - 3400) <= 3
+    assert abs(int(dele[0]["info"]["END"]) - 3460) <= 3
+    assert int(dele[0]["info"]["SVLEN"]) == -60
+    assert dele[0]["ref"] != "N"  # REF base came from the reference fasta
+    bnds = by_type.get("BND", [])
+    assert len(bnds) == 2  # translocation breakend pair
+    mates = {r["id"]: r["info"]["MATEID"] for r in bnds}
+    for rid, mate in mates.items():
+        assert mates[mate] == rid
+    assert by_type.get("INV") and by_type.get("DUP")
+    # VCF is chrom/pos sorted
+    keys = [(r["chrom"], r["pos"]) for r in rows]
+    assert keys == sorted(keys, key=lambda kp: (kp[0], kp[1]))
+
+
 def test_e2e_coverage_recorded(run_events):
     _, _, _, _, events = run_events
     # background pairs give nonzero depth at breakpoints
