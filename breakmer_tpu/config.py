@@ -40,6 +40,7 @@ class Config:
     min_clip_len: int = 3          # min soft-clip length to keep (reconstructed)
     adapter_3p: Optional[str] = None  # cutadapt -a equivalent
     adapter_5p: Optional[str] = None  # cutadapt -g equivalent
+    adapter_error_rate: float = 0.1   # cutadapt -e equivalent
     trim_qual: int = 3             # cutadapt -q equivalent
     min_read_len: int = 25         # drop reads shorter than this after trim
     min_sv_reads: int = 2          # skip region if fewer SV reads survive

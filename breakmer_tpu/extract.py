@@ -263,21 +263,87 @@ def extract_sv_reads_columnar(
     )
 
 
-def _find_adapter_3p(seq: str, adapter: str, min_overlap: int = 3) -> int:
-    """cutadapt-style 3' adapter location: full adapter anywhere in the
-    read, else a read-suffix == adapter-prefix overlap of >= min_overlap.
-    Returns the cut position, or len(seq) if not found. Exact matching
-    (the reference's cutadapt_config_file typically ran error-free
-    adapters on panel data; error-tolerant matching is a config knob for
-    a later pass)."""
-    pos = seq.find(adapter)
-    if pos != -1:
-        return pos
-    max_ov = min(len(adapter), len(seq))
+def _mm_counts(seq_arr: np.ndarray, adapter: str, starts: np.ndarray,
+               length: int) -> np.ndarray:
+    """Hamming mismatch counts of adapter[:length] against seq at each
+    start offset (all starts must satisfy start+length <= len(seq))."""
+    ad = np.frombuffer(adapter[:length].encode(), dtype=np.uint8)
+    win = seq_arr[starts[:, None] + np.arange(length)[None, :]]
+    return (win != ad[None, :]).sum(axis=1)
+
+
+def _find_adapter_3p(
+    seq: str, adapter: str, min_overlap: int = 3, error_rate: float = 0.1
+) -> int:
+    """cutadapt-style 3' adapter location with error tolerance: the
+    adapter (or an adapter-prefix overlapping the read's 3' end) may match
+    with up to floor(error_rate * overlap_len) mismatches (Hamming —
+    cutadapt additionally allows indels in the adapter alignment; panels
+    with indel-containing adapter read-through are rare enough that the
+    simplification is documented rather than configurable). Among
+    candidates the best is most matching bases, then fewest errors, then
+    leftmost — cutadapt's ranking. Returns the cut position, or len(seq)
+    if no match."""
+    n, alen = len(seq), len(adapter)
+    if n < min_overlap:
+        return n
+    seq_arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+    best = None  # (-(matches), errors, pos)
+    # full adapter internal to the read
+    if n >= alen:
+        starts = np.arange(n - alen + 1)
+        mm = _mm_counts(seq_arr, adapter, starts, alen)
+        allowed = int(error_rate * alen)
+        ok = np.nonzero(mm <= allowed)[0]
+        if ok.size:
+            errs = mm[ok]
+            i = np.lexsort((ok, errs))[0]
+            best = (-(alen - int(errs[i])), int(errs[i]), int(ok[i]))
+    # adapter prefix overlapping the 3' end
+    max_ov = min(alen - 1, n)
     for ov in range(max_ov, min_overlap - 1, -1):
-        if seq.endswith(adapter[:ov]):
-            return len(seq) - ov
-    return len(seq)
+        mm = int(_mm_counts(seq_arr, adapter, np.array([n - ov]), ov)[0])
+        if mm <= int(error_rate * ov):
+            cand = (-(ov - mm), mm, n - ov)
+            if best is None or cand < best:
+                best = cand
+    return best[2] if best is not None else n
+
+
+def _find_adapter_5p(
+    seq: str, adapter: str, min_overlap: int = 3, error_rate: float = 0.1
+) -> int:
+    """cutadapt -g (non-anchored 5') analog: the full adapter near the
+    read start, or an adapter-suffix overlapping the read's 5' end; trims
+    through the adapter's last base. Same error model and ranking as the
+    3' matcher. Returns the first kept position (0 = no match)."""
+    n, alen = len(seq), len(adapter)
+    if n < min_overlap:
+        return 0
+    seq_arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+    best = None  # (-(matches), errors, cut)
+    if n >= alen:
+        # cutadapt looks for 5' adapters from the read start; keep the
+        # pre-existing "within the first few bases" behavior for the
+        # internal full-adapter case
+        starts = np.arange(min(4, n - alen + 1))
+        mm = _mm_counts(seq_arr, adapter, starts, alen)
+        allowed = int(error_rate * alen)
+        ok = np.nonzero(mm <= allowed)[0]
+        if ok.size:
+            errs = mm[ok]
+            i = np.lexsort((ok, errs))[0]
+            best = (-(alen - int(errs[i])), int(errs[i]),
+                    int(ok[i]) + alen)
+    max_ov = min(alen - 1, n)
+    for ov in range(max_ov, min_overlap - 1, -1):
+        ad_tail = adapter[alen - ov:]
+        mm = int(_mm_counts(seq_arr, ad_tail, np.array([0]), ov)[0])
+        if mm <= int(error_rate * ov):
+            cand = (-(ov - mm), mm, ov)
+            if best is None or cand < best:
+                best = cand
+    return best[2] if best is not None else 0
 
 
 def clean_reads(
@@ -286,11 +352,13 @@ def clean_reads(
     min_len: int = 25,
     adapter_3p: Optional[str] = None,
     adapter_5p: Optional[str] = None,
+    adapter_error_rate: float = 0.1,
 ) -> ReadBatch:
     """Quality- and adapter-trim reads, drop short ones (the cutadapt
     step, reference: target.clean_reads). Quality trimming uses cutadapt's
     partial-sum algorithm; adapters are removed 3' (suffix-anchored) and
-    5' (prefix-anchored) before the quality pass."""
+    5' (prefix-anchored) before the quality pass, with cutadapt's -e
+    error tolerance (default 0.1)."""
     if len(batch) == 0 or batch.quals is None:
         return batch
     keep_seqs: List[str] = []
@@ -300,12 +368,16 @@ def clean_reads(
         length = int(batch.lengths[i])
         if adapter_3p or adapter_5p:
             seq = batch.seq(i)
-            lo5 = 0
-            if adapter_5p:
-                p = seq.find(adapter_5p)
-                if p != -1 and p <= 3:
-                    lo5 = p + len(adapter_5p)
-            hi3 = _find_adapter_3p(seq, adapter_3p) if adapter_3p else length
+            lo5 = (
+                _find_adapter_5p(seq, adapter_5p,
+                                 error_rate=adapter_error_rate)
+                if adapter_5p else 0
+            )
+            hi3 = (
+                _find_adapter_3p(seq, adapter_3p,
+                                 error_rate=adapter_error_rate)
+                if adapter_3p else length
+            )
             if hi3 < lo5:
                 continue
             length = hi3

@@ -104,6 +104,7 @@ class TargetPipeline:
             min_len=cfg.min_read_len,
             adapter_3p=cfg.adapter_3p,
             adapter_5p=cfg.adapter_5p,
+            adapter_error_rate=cfg.adapter_error_rate,
         )
         # reference parity: the pipeline continues only with enough
         # surviving SV reads (target.clean_reads re-checks the count)

@@ -116,3 +116,42 @@ def test_clean_reads_adapter_5p():
                                 quals=[[35] * (len(adapter) + len(core))])
     out = clean_reads(batch, adapter_5p=adapter, min_len=10)
     assert out.seq(0) == core
+
+
+def test_clean_reads_adapter_error_tolerant():
+    """cutadapt -e analog: adapters with mismatches within floor(e*L)
+    still trim; beyond the budget they do not."""
+    adapter = "AGATCGGAAGAGCACACGTC"  # 20bp: e=0.1 -> 2 mismatches allowed
+    core = "ACGTACGTACGTACGTACGTACGTACGT"
+    mut2 = "AGTTCGGAAGAGCACACGAC"  # 2 mismatches
+    mut3 = "AGTTCGGATGAGCACACGAC"  # 3 mismatches
+    q = lambda s: [[35] * len(s)]
+    seq2 = core + mut2 + "TTTT"
+    out = clean_reads(ReadBatch.from_seqs([seq2], quals=q(seq2)),
+                      adapter_3p=adapter, min_len=10)
+    assert out.seq(0) == core
+    seq3 = core + mut3 + "TTTT"
+    out = clean_reads(ReadBatch.from_seqs([seq3], quals=q(seq3)),
+                      adapter_3p=adapter, min_len=10)
+    assert out.seq(0) == seq3  # over budget: untouched
+    # zero tolerance pins the old exact behavior
+    out = clean_reads(ReadBatch.from_seqs([seq2], quals=q(seq2)),
+                      adapter_3p=adapter, min_len=10, adapter_error_rate=0.0)
+    assert out.seq(0) == seq2
+
+
+def test_clean_reads_adapter_5p_partial_and_errors():
+    adapter = "TTTCCCGGGA"
+    core = "ACGTACGTACGTACGTACGTACGTACGT"
+    q = lambda s: [[35] * len(s)]
+    # adapter suffix overlapping the read's 5' start
+    seq = adapter[4:] + core
+    out = clean_reads(ReadBatch.from_seqs([seq], quals=q(seq)),
+                      adapter_5p=adapter, min_len=10)
+    assert out.seq(0) == core
+    # one mismatch in a full 10bp 5' adapter (e=0.1 -> 1 allowed)
+    mut = "TTTCCAGGGA"
+    seq = mut + core
+    out = clean_reads(ReadBatch.from_seqs([seq], quals=q(seq)),
+                      adapter_5p=adapter, min_len=10)
+    assert out.seq(0) == core
