@@ -48,12 +48,21 @@ def _bgzf_decompress(path: str | Path) -> bytes:
     return gzip.decompress(raw)
 
 
-def _bgzf_compress(data: bytes, level: int = 6) -> bytes:
-    """Write BGZF blocks (<=64KB payload each) with the BC extra field."""
+BGZF_BLOCK_U = 0xFF00  # uncompressed payload per block when writing
+
+
+def _bgzf_compress(
+    data: bytes, level: int = 6, return_offsets: bool = False
+):
+    """Write BGZF blocks (<=64KB payload each) with the BC extra field.
+    With return_offsets, also return the compressed offset of each block
+    (block i holds uncompressed bytes [i*BGZF_BLOCK_U, (i+1)*BGZF_BLOCK_U)),
+    which is what virtual-offset computation for the BAI needs."""
     out = bytearray()
-    MAX = 0xFF00
-    for i in range(0, len(data) or 1, MAX):
-        chunk = data[i : i + MAX]
+    offsets: List[int] = []
+    for i in range(0, len(data) or 1, BGZF_BLOCK_U):
+        offsets.append(len(out))
+        chunk = data[i : i + BGZF_BLOCK_U]
         co = zlib.compressobj(level, zlib.DEFLATED, -15)
         comp = co.compress(chunk) + co.flush()
         bsize = len(comp) + 25 + 1  # header(12)+extra(6)+deflate+crc(4)+isize(4)
@@ -67,8 +76,37 @@ def _bgzf_compress(data: bytes, level: int = 6) -> bytes:
             2,                        # SLEN
         ) + struct.pack("<H", bsize - 1)
         out += header + comp + struct.pack("<II", zlib.crc32(chunk), len(chunk))
+    offsets.append(len(out))  # EOF block: voffsets at the file tail land here
     out += BGZF_EOF
+    if return_offsets:
+        return bytes(out), offsets
     return bytes(out)
+
+
+def _bgzf_read_block(fh, coffset: int) -> Tuple[bytes, int]:
+    """Inflate the single BGZF member at compressed offset ``coffset``;
+    returns (uncompressed payload, total compressed size). Empty payload
+    with size 0 signals EOF / the empty EOF sentinel block."""
+    fh.seek(coffset)
+    hdr = fh.read(12)
+    if len(hdr) < 12 or hdr[:2] != b"\x1f\x8b":
+        return b"", 0
+    xlen = struct.unpack_from("<H", hdr, 10)[0]
+    extra = fh.read(xlen)
+    bsize = None
+    p = 0
+    while p + 4 <= len(extra):
+        si1, si2, slen = extra[p], extra[p + 1], struct.unpack_from("<H", extra, p + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            bsize = struct.unpack_from("<H", extra, p + 4)[0] + 1
+        p += 4 + slen
+    if bsize is None:
+        raise ValueError("BGZF block missing BC subfield")
+    comp_len = bsize - 12 - xlen - 8
+    comp = fh.read(comp_len)
+    payload = zlib.decompress(comp, -15) if comp_len > 0 else b""
+    fh.read(8)  # CRC32 + ISIZE
+    return payload, bsize
 
 
 class BamReader:
@@ -101,52 +139,194 @@ class BamReader:
         n = len(data)
         while off + 4 <= n:
             block_size = struct.unpack_from("<i", data, off)[0]
-            off += 4
-            end = off + block_size
-            (
-                ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
-                next_ref, next_pos, tlen,
-            ) = struct.unpack_from("<iiBBHHHiiii", data, off)
-            p = off + 32
-            qname = data[p : p + l_read_name - 1].decode()
-            p += l_read_name
-            cigar = []
-            for _ in range(n_cigar):
-                v = struct.unpack_from("<I", data, p)[0]
-                cigar.append((v >> 4, _CIGAR_OPS[v & 0xF]))
-                p += 4
-            nb = (l_seq + 1) // 2
-            seq_chars = []
-            for i in range(l_seq):
-                byte = data[p + i // 2]
-                nib = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
-                seq_chars.append(_SEQ_NIBBLE[nib])
-            seq = "".join(seq_chars)
-            p += nb
-            qual_raw = data[p : p + l_seq]
-            qual = [] if (l_seq == 0 or qual_raw[:1] == b"\xff") else list(qual_raw)
-            off = end
-            yield SamRecord(
-                qname=qname,
-                flag=flag,
-                rname=self._ref_name(ref_id),
-                pos=pos,
-                mapq=mapq,
-                cigar=cigar,
-                rnext=self._ref_name(next_ref) if next_ref != ref_id or next_ref < 0
-                else self._ref_name(ref_id),
-                pnext=next_pos,
-                tlen=tlen,
-                seq=seq if l_seq else "*",
-                qual=qual,
-            )
+            rec = _parse_record(data, off + 4, self._ref_name)
+            off += 4 + block_size
+            yield rec
+
+
+def _parse_record(data, off: int, ref_name) -> SamRecord:
+    """Decode one BAM alignment record starting at its refID field."""
+    (
+        ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+        next_ref, next_pos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", data, off)
+    p = off + 32
+    qname = data[p : p + l_read_name - 1].decode()
+    p += l_read_name
+    cigar = []
+    for _ in range(n_cigar):
+        v = struct.unpack_from("<I", data, p)[0]
+        cigar.append((v >> 4, _CIGAR_OPS[v & 0xF]))
+        p += 4
+    nb = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        byte = data[p + i // 2]
+        nib = (byte >> 4) if i % 2 == 0 else (byte & 0xF)
+        seq_chars.append(_SEQ_NIBBLE[nib])
+    seq = "".join(seq_chars)
+    p += nb
+    qual_raw = data[p : p + l_seq]
+    qual = [] if (l_seq == 0 or qual_raw[:1] == b"\xff") else list(qual_raw)
+    return SamRecord(
+        qname=qname,
+        flag=flag,
+        rname=ref_name(ref_id),
+        pos=pos,
+        mapq=mapq,
+        cigar=cigar,
+        rnext=ref_name(next_ref) if next_ref != ref_id or next_ref < 0
+        else ref_name(ref_id),
+        pnext=next_pos,
+        tlen=tlen,
+        seq=seq if l_seq else "*",
+        qual=qual,
+    )
+
+
+class BamIndexedReader:
+    """Random-access BAM reader driven by a BAI index: only the BGZF
+    blocks the index's chunks point at are inflated, so per-region cost is
+    independent of file size (the htslib/pysam fetch analog; reference:
+    target.extract_bam_reads)."""
+
+    def __init__(self, path: str | Path, bai_path: Optional[str | Path] = None):
+        from breakmer_tpu.io.bai import read_bai
+
+        self.path = Path(path)
+        self._fh = open(self.path, "rb")
+        bai_path = bai_path or (str(path) + ".bai")
+        self.index = read_bai(bai_path)
+        self._parse_header()
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _inflate_from(self, coffset: int, min_len: int) -> bytes:
+        """Inflate consecutive blocks from ``coffset`` until at least
+        ``min_len`` uncompressed bytes are available."""
+        out = bytearray()
+        while len(out) < min_len:
+            payload, csize = _bgzf_read_block(self._fh, coffset)
+            if csize == 0:
+                break
+            out += payload
+            coffset += csize
+        return bytes(out)
+
+    def _parse_header(self) -> None:
+        # header may span blocks: inflate until the ref dictionary parses
+        need = 1 << 16
+        while True:
+            data = self._inflate_from(0, need)
+            try:
+                if data[:4] != b"BAM\x01":
+                    raise ValueError(f"{self.path}: not a BAM file (bad magic)")
+                l_text = struct.unpack_from("<i", data, 4)[0]
+                off = 8 + l_text
+                self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode()
+                n_ref = struct.unpack_from("<i", data, off)[0]
+                off += 4
+                self.refs: List[Tuple[str, int]] = []
+                for _ in range(n_ref):
+                    l_name = struct.unpack_from("<i", data, off)[0]
+                    name = data[off + 4 : off + 4 + l_name - 1].decode()
+                    l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+                    self.refs.append((name, l_ref))
+                    off += 8 + l_name
+                return
+            except struct.error:
+                if len(data) < need:  # file exhausted: genuinely corrupt
+                    raise ValueError(f"{self.path}: truncated BAM header")
+                need *= 2
+
+    def _ref_name(self, rid: int) -> str:
+        return self.refs[rid][0] if 0 <= rid < len(self.refs) else "*"
+
+    def _ref_id(self, chrom: str) -> int:
+        for i, (name, _ln) in enumerate(self.refs):
+            if name == chrom:
+                return i
+        return -1
+
+    def fetch(self, chrom: str, start: int, end: int) -> Iterator[SamRecord]:
+        """Yield records overlapping [start, end) on chrom (mapped overlap
+        or placed-unmapped pos within), in file order."""
+        rid = self._ref_id(chrom)
+        if rid < 0:
+            return
+        for vbeg, vend in self.index.query(rid, start, end):
+            yield from self._scan_chunk(vbeg, vend, chrom, start, end)
+
+    def _scan_chunk(
+        self, vbeg: int, vend: int, chrom: str, start: int, end: int
+    ) -> Iterator[SamRecord]:
+        coffset = vbeg >> 16
+        upos = vbeg & 0xFFFF
+        buf = bytearray()
+        # boundaries[i] = (uncompressed start of block i in buf, its coffset)
+        boundaries: List[Tuple[int, int]] = []
+        next_coffset = coffset
+        exhausted = False
+
+        def ensure(n: int) -> bool:
+            nonlocal next_coffset, exhausted
+            while len(buf) < n and not exhausted:
+                payload, csize = _bgzf_read_block(self._fh, next_coffset)
+                if csize == 0:
+                    exhausted = True
+                    break
+                boundaries.append((len(buf), next_coffset))
+                buf.extend(payload)
+                next_coffset += csize
+            return len(buf) >= n
+
+        def voffset(bufpos: int) -> int:
+            import bisect
+
+            i = bisect.bisect_right(boundaries, (bufpos, float("inf"))) - 1
+            ustart, coff = boundaries[i]
+            return (coff << 16) | (bufpos - ustart)
+
+        pos = upos
+        while True:
+            if not ensure(pos + 4):
+                return
+            if voffset(pos) >= vend:
+                return
+            block_size = struct.unpack_from("<i", buf, pos)[0]
+            if not ensure(pos + 4 + block_size):
+                return
+            rec = _parse_record(buf, pos + 4, self._ref_name)
+            pos += 4 + block_size
+            if rec.rname != chrom:
+                continue
+            if rec.is_unmapped:
+                if start <= rec.pos < end:
+                    yield rec
+                continue
+            if rec.pos >= end:
+                return  # coordinate-sorted: nothing later can overlap
+            if rec.reference_end() > start:
+                yield rec
 
 
 def read_bam(
     path: str | Path, region: Optional[Tuple[str, int, int]] = None
 ) -> Iterator[SamRecord]:
-    """Iterate BAM records, optionally restricted to a region (linear
-    scan; same contract as io.sam.read_sam)."""
+    """Iterate BAM records, optionally restricted to a region. With a
+    sidecar ``.bai`` present, region reads seek straight to the indexed
+    chunks (io.bai) instead of decoding the whole file."""
+    if region is not None and Path(str(path) + ".bai").exists():
+        with BamIndexedReader(path) as reader:
+            yield from reader.fetch(*region)
+        return
     for rec in BamReader(path):
         if region is not None:
             chrom, start, end = region
@@ -176,9 +356,22 @@ def write_bam(
     path: str | Path,
     refs: List[Tuple[str, int]],
     records: List[SamRecord],
+    index: bool = False,
 ) -> None:
-    """Minimal BAM writer (fixtures, intermediates)."""
+    """Minimal BAM writer (fixtures, intermediates). With ``index=True``
+    the records must be coordinate-sorted and a sidecar ``<path>.bai`` is
+    written alongside (the `samtools index` analog, io.bai)."""
     rid: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
+    if index:
+        keyed = [
+            (rid.get(r.rname, -1), r.pos) for r in records
+            if rid.get(r.rname, -1) >= 0
+        ]
+        if keyed != sorted(keyed):
+            raise ValueError(
+                "write_bam(index=True) requires coordinate-sorted records"
+            )
+    rec_offsets: List[int] = []  # flat uncompressed start of each record
     header_text = "".join(
         f"@SQ\tSN:{name}\tLN:{ln}\n" for name, ln in refs
     ).encode()
@@ -190,6 +383,7 @@ def write_bam(
         bname = name.encode() + b"\x00"
         body += struct.pack("<i", len(bname)) + bname + struct.pack("<i", ln)
     for rec in records:
+        rec_offsets.append(len(body))
         name_b = rec.qname.encode() + b"\x00"
         seq = "" if rec.seq == "*" else rec.seq
         l_seq = len(seq)
@@ -217,4 +411,23 @@ def write_bam(
             rec.tlen,
         ) + name_b + cigar_b + bytes(seq_b) + qual_b
         body += struct.pack("<i", len(rec_b)) + rec_b
-    Path(path).write_bytes(_bgzf_compress(bytes(body)))
+    rec_offsets.append(len(body))
+    if not index:
+        Path(path).write_bytes(_bgzf_compress(bytes(body)))
+        return
+    compressed, block_offsets = _bgzf_compress(bytes(body), return_offsets=True)
+    Path(path).write_bytes(compressed)
+
+    def voffset(u: int) -> int:
+        return (block_offsets[u // BGZF_BLOCK_U] << 16) | (u % BGZF_BLOCK_U)
+
+    from breakmer_tpu.io.bai import build_bai, write_bai
+
+    entries = []
+    for rec, u0, u1 in zip(records, rec_offsets, rec_offsets[1:]):
+        r = rid.get(rec.rname, -1)
+        if r < 0:
+            continue
+        end = rec.pos + 1 if rec.is_unmapped else rec.reference_end()
+        entries.append((r, rec.pos, end, voffset(u0), voffset(u1)))
+    write_bai(str(path) + ".bai", build_bai(len(refs), entries))

@@ -51,6 +51,7 @@ class Runner:
         self.other_regions: Dict[str, TargetRegion] = {}
         self.user_filter: Optional[RepeatMask] = None
         self._sample_records: Optional[list] = None
+        self._indexed_reader = None  # cached BamIndexedReader (.bai path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
 
@@ -206,9 +207,19 @@ class Runner:
         """Records overlapping a region. With preload_alignments (default)
         the file is parsed ONCE and filtered in memory per region —
         re-parsing the whole SAM/BAM per target dominated panel runtime
-        (one pass is also what the reference's BAM index achieves)."""
+        (one pass is also what the reference's BAM index achieves). With
+        preload off and a sidecar .bai, a cached indexed reader serves
+        each region by seeking (whole-genome BAMs: per-region cost is
+        independent of file size)."""
         cfg = self.cfg
         if not cfg.preload_alignments:
+            bam = str(cfg.sample_bam_file)
+            if bam.endswith(".bam") and Path(bam + ".bai").exists():
+                if self._indexed_reader is None:
+                    from breakmer_tpu.io.bam import BamIndexedReader
+
+                    self._indexed_reader = BamIndexedReader(bam)
+                return self._indexed_reader.fetch(chrom, start, end)
             return read_alignments(cfg.sample_bam_file, region=(chrom, start, end))
         if self._sample_records is None:
             t0 = time.time()

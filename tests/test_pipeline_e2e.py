@@ -412,3 +412,40 @@ def test_e2e_bam_input(panel, tmp_path):
     sam_out = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
     bam_out = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
     assert bam_out == sam_out  # bit-identical calls through either ingest
+
+
+def test_e2e_indexed_bam_no_preload(panel, tmp_path):
+    """Whole-genome-BAM mode: coordinate-sorted indexed BAM, preload off —
+    each region is fetched through the BAI and the calls are identical to
+    the preloaded SAM run (cross-path identity)."""
+    work, cfg, INS = panel
+    from breakmer_tpu.io.bam import write_bam
+    from breakmer_tpu.io.fasta import read_fasta
+    from breakmer_tpu.io.sam import parse_sam_line
+
+    genome = read_fasta(cfg.reference_fasta)
+    refs = [(name, len(seq)) for name, seq in genome.items()]
+    rid = {name: i for i, (name, _l) in enumerate(refs)}
+    records = []
+    with open(cfg.sample_bam_file) as fh:
+        for line in fh:
+            if not line.startswith("@"):
+                records.append(parse_sam_line(line))
+    records.sort(key=lambda r: (rid.get(r.rname, len(rid)), r.pos))
+    bam_path = tmp_path / "sorted.bam"
+    write_bam(bam_path, refs, records, index=True)
+    assert (tmp_path / "sorted.bam.bai").exists()
+
+    cfg2 = Config(**{**cfg.__dict__,
+                     "sample_bam_file": str(bam_path),
+                     "preload_alignments": False,
+                     "analysis_dir": str(tmp_path / "analysis_bai")})
+    runner = Runner(cfg2)
+    runner.setup()
+    runner.run()
+    assert runner._indexed_reader is not None  # the BAI path actually ran
+    sam_out = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
+    bai_out = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
+    key = lambda r: (r["genes"], r["sv_type"], r["sv_subtype"],
+                     r["target_breakpoints"], r["contig_seq"])
+    assert sorted(bai_out, key=key) == sorted(sam_out, key=key)
