@@ -261,7 +261,13 @@ def realign_contigs(
         for b in range(B):
             qb[b, : len(flat_q[b])] = flat_q[b]
             tb[b, : len(flat_t[b])] = flat_t[b]
-        scores, q_ends, t_ends = sw_score_batch(qb, tb, params)
+        # round 1 (no masked intervals, N-free contigs/windows) qualifies
+        # for the kernel's cheap-substitution path; masked-requery rounds
+        # have mid-sequence 4s and take the generic path
+        no_n = all(int(a.max(initial=0)) < 4 for a in flat_q) and all(
+            int(a.max(initial=0)) < 4 for a in flat_t
+        )
+        scores, q_ends, t_ends = sw_score_batch(qb, tb, params, no_n=no_n)
         # ---- per-contig winner processing (host) --------------------------
         for wk, (start, count) in zip(active, spans):
             sl = slice(start, start + count)

@@ -135,22 +135,26 @@ def sw_score(
 
 
 def sw_score_auto(
-    q: jax.Array, t: jax.Array, params: SWParams = SWParams()
+    q: jax.Array, t: jax.Array, params: SWParams = SWParams(), no_n: bool = False
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Backend-dispatching SW: the hand-tiled Pallas wavefront kernel on
     TPU (~2x the XLA scan), the XLA scan elsewhere (Pallas interpret mode
     would be far slower on CPU). Identical results either way — the two
-    are tested for exact agreement."""
+    are tested for exact agreement.
+
+    no_n: caller asserts no mid-sequence N in either input (trailing pad
+    4s are fine) — unlocks the kernel's cheap substitution path; results
+    are unchanged (see ops.sw_pallas docstring for the proof)."""
     if jax.default_backend() == "tpu":
         from breakmer_tpu.ops.sw_pallas import sw_score_pallas
 
-        return sw_score_pallas(q, t, params)
+        return sw_score_pallas(q, t, params, no_n=no_n)
     return sw_score(q, t, params)
 
 
-def sw_score_batch(q, t, params: SWParams = SWParams()):
+def sw_score_batch(q, t, params: SWParams = SWParams(), no_n: bool = False):
     """Convenience: accepts numpy arrays, returns numpy (host driver use)."""
     import numpy as np
 
-    s, qi, tj = sw_score_auto(jnp.asarray(q), jnp.asarray(t), params)
+    s, qi, tj = sw_score_auto(jnp.asarray(q), jnp.asarray(t), params, no_n=no_n)
     return np.asarray(s), np.asarray(qi), np.asarray(tj)

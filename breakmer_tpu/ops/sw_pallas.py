@@ -7,12 +7,20 @@ the whole diagonal sweep, one program per batch block:
   * state per step: two previous H diagonals (ping-ponged, no copies)
     plus E and F diagonals as [BB, Lq] VMEM arrays (BB pairs stacked on
     sublanes, query positions on lanes) — no HBM traffic in the sweep;
-  * int16 state whenever scores fit (match*min(Lq,Lt) < 16000): half the
-    vector registers per op vs int32, measured ~1.5x; int32 otherwise;
   * the target character stream needs no gather and no dynamic lane
     slicing (Mosaic cannot lower either): the diagonal's target slice
     t[d-i] evolves by one lane-shift per step, refilled from a rotating
-    copy of the target whose column 0 always holds t[:, d+1];
+    copy of the target whose column u holds the step's fill character;
+  * the sweep is split into static phases so each per-step op is emitted
+    only over the diagonals where it can matter: the j==0 boundary masks
+    die after d >= Lq, the target-stream fill guard only exists in the
+    one unroll block straddling d == Lt-1, and past it the rotating
+    target (and its per-block roll) is dropped entirely;
+  * ``no_n=True`` (static) asserts no mid-sequence N in either input:
+    pads are re-encoded to distinct never-matching codes (q->6, t->7) and
+    the 5-op masked substitution select collapses to compare+select.
+    Bit-exact with the oracle (proof below); requires mismatch > 0 and
+    gap_extend > 0 (silently ignored otherwise);
   * best-cell tracking is branch-free per column (strictly-greater update
     keeps the earliest diagonal, matching the reference wavefront
     tie-break); the final cross-column pick minimizes (diagonal, lane)
@@ -22,12 +30,24 @@ the whole diagonal sweep, one program per batch block:
 Scoring model (affine, gap of length g costs open + extend*g) and the
 masking of pad/N bases match ops.sw exactly; ops.sw remains the oracle.
 
-Bounds note: cells with j >= Lt or j < 0 need no explicit mask. The
-streamed target is the pad code (4) there, so sub = NEG kills the match
-path, and any H reachable through E/F gap chains is strictly smaller than
-its in-bounds ancestor (every gap step subtracts >= gap_extend > 0), so
-such cells can never win the strictly-greater best update. Only the
-j == 0 boundary needs masking (there is no j = -1 column).
+Bounds note (generic path): cells with j >= Lt or j < 0 need no explicit
+mask. The streamed target is the pad code there, so sub = NEG kills the
+match path, and any H reachable through E/F gap chains is strictly
+smaller than its in-bounds ancestor (every gap step subtracts >=
+gap_extend > 0), so such cells can never win the strictly-greater best
+update. Only the j == 0 boundary needs masking (there is no j = -1
+column).
+
+no_n exactness proof sketch: with pads re-encoded to 6 (query) / 7
+(target), no pad lane ever equals any base or the other side's pad, so
+sub = -mismatch < 0 at every pad-touching cell. DP paths only move i and
+j forward, so once a path enters a pad row/column it never returns to
+valid cells; inside the pad region H cannot grow (match impossible, gap
+chains subtract gap_extend > 0, the 0-floor only resets), hence every
+positive pad-cell H is STRICTLY below some in-bounds ancestor's H and can
+neither beat nor tie the global max. The (score, q_end, t_end) outputs —
+the only observables — are therefore identical to the oracle's NEG
+masking; only unobservable pad-cell values differ.
 """
 
 from __future__ import annotations
@@ -75,16 +95,16 @@ def _shift_right(x: jax.Array, is0: jax.Array, fill) -> jax.Array:
 def _sw_kernel(
     q_ref, t_ref, score_ref, qend_ref, tend_ref,
     hd1, hd2, ed1, fd1, bh, bd, tj, trot,
-    *, bb: int, Lq: int, Lt: int, params: SWParams, dt, neg: int,
+    *, bb: int, Lq: int, Lt: int, params: SWParams, dt, neg: int, no_n: bool,
 ):
     go = params.gap_open + params.gap_extend
     ge = params.gap_extend
+    tpad = 7 if no_n else 4
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, Lq), 1)
-    col_dt = col.astype(dt)
     is0 = col == 0
 
     qv = q_ref[:]
-    q_bad = qv >= 4
+    q_bad = None if no_n else (qv >= 4)
     zero = jnp.zeros((bb, Lq), dt)
     hd1[:] = zero
     hd2[:] = zero
@@ -93,62 +113,96 @@ def _sw_kernel(
     bh[:] = zero
     bd[:] = zero
     # diagonal 0 target stream: t[0-i] -> only i=0 is a real base
-    tj[:] = jnp.where(is0, t_ref[:, 0:1], 4)
+    tj[:] = jnp.where(is0, t_ref[:, 0:1], tpad)
     # rotating target: at unroll-iteration ``it``, column u holds the
-    # stream fill t[:, it*U + u + 1]. One big rotate per U steps
-    # (amortized ~Lt/U vreg-rolls per step instead of Lt — the per-step
-    # whole-target roll was 35% of kernel time)
+    # stream fill t[:, it*U + u + 1] (wrapped values where out of range —
+    # the guard phase masks them, and the pad phase never reads trot).
+    # One big rotate per U steps (amortized ~Lt/U vreg-rolls per step
+    # instead of Lt — the per-step whole-target roll was 35% of kernel
+    # time).
     trot[:] = pltpu.roll(t_ref[:], Lt - 1, 1)  # rotate left by 1
-
-    def one_step(d, u, h_prev, h_prev2, h_out):
-        isj0 = col == d
-        d_dt = jnp.asarray(d, jnp.int32).astype(dt)
-        tj_cur = tj[:]
-        sub = jnp.where(
-            q_bad | (tj_cur >= 4),
-            neg,
-            jnp.where(qv == tj_cur, params.match, -params.mismatch),
-        ).astype(dt)
-        h1 = h_prev[:]
-        hg = h1 - go
-        e_new = jnp.maximum(hg, ed1[:] - ge)
-        e_new = jnp.where(isj0, neg, e_new)
-        # shift(max(a,b)) == max(shift(a), shift(b)) with one roll
-        f_new = _shift_right(jnp.maximum(hg, fd1[:] - ge), is0, neg)
-        h_diag = _shift_right(h_prev2[:], is0, 0)
-        h_diag = jnp.where(isj0, 0, h_diag)
-        h_new = jnp.maximum(
-            jnp.maximum(h_diag + sub, 0), jnp.maximum(e_new, f_new)
-        )
-        # strictly-greater update keeps the earliest diagonal per column
-        upd = h_new > bh[:]
-        bh[:] = jnp.where(upd, h_new, bh[:])
-        bd[:] = jnp.where(upd, d_dt, bd[:])
-        h_out[:] = h_new
-        ed1[:] = e_new
-        fd1[:] = f_new
-        # advance the target stream: tj_{d+1}[i] = tj_d[i-1], new = t[d+1]
-        # (static lane slice u of the rotated block — no dynamic indexing)
-        fill = jnp.where(d + 1 < Lt, trot[:, u : u + 1], 4)
-        tj[:] = _shift_right(tj_cur, is0, fill)
 
     U = 8  # unrolled steps per loop iteration (even: ping-pong pairs)
 
-    def u_steps(it, _):
-        base = it * U
-        for u in range(U):  # static unroll
-            if u % 2 == 0:
-                one_step(base + u, u, hd1, hd2, hd2)
+    def make_u_steps(mask_j0: bool, fill_mode: str):
+        """One unrolled loop body specialised to its diagonal range:
+        mask_j0 only while some step can touch column j==0 (d < Lq);
+        fill_mode 'real' while every fill index is in range (d+1 < Lt),
+        'guard' across the boundary block, 'pad' once the stream is all
+        pad (d >= Lt-1, rotating target dead). State stays in scratch
+        refs per step: hand-carrying it in loop locals was measured
+        SLOWER (Mosaic forwards the stores; the locals blow the 16M
+        scoped-VMEM stack at BB=512 and the fallback BB=256 loses ~5%)."""
+
+        def one_step(d, u, h_prev, h_prev2, h_out):
+            tj_cur = tj[:]
+            if no_n:
+                sub = jnp.where(
+                    qv == tj_cur, params.match, -params.mismatch
+                ).astype(dt)
             else:
-                one_step(base + u, u, hd2, hd1, hd1)
-        trot[:] = pltpu.roll(trot[:], Lt - U, 1)  # rotate left by U
-        return 0
+                sub = jnp.where(
+                    q_bad | (tj_cur >= 4),
+                    neg,
+                    jnp.where(qv == tj_cur, params.match, -params.mismatch),
+                ).astype(dt)
+            h1 = h_prev[:]
+            hg = h1 - go
+            e_new = jnp.maximum(hg, ed1[:] - ge)
+            h_diag = _shift_right(h_prev2[:], is0, 0)
+            if mask_j0:
+                isj0 = col == d
+                e_new = jnp.where(isj0, neg, e_new)
+                h_diag = jnp.where(isj0, 0, h_diag)
+            # shift(max(a,b)) == max(shift(a), shift(b)) with one roll
+            f_new = _shift_right(jnp.maximum(hg, fd1[:] - ge), is0, neg)
+            h_new = jnp.maximum(
+                jnp.maximum(h_diag + sub, 0), jnp.maximum(e_new, f_new)
+            )
+            # strictly-greater update keeps the earliest diagonal per column
+            upd = h_new > bh[:]
+            bh[:] = jnp.where(upd, h_new, bh[:])
+            bd[:] = jnp.where(upd, jnp.asarray(d, jnp.int32).astype(dt), bd[:])
+            h_out[:] = h_new
+            ed1[:] = e_new
+            fd1[:] = f_new
+            # advance the target stream: tj_{d+1}[i] = tj_d[i-1], new = t[d+1]
+            # (static lane slice u of the rotated block — no dynamic indexing)
+            if fill_mode == "real":
+                fill = trot[:, u : u + 1]
+            elif fill_mode == "guard":
+                fill = jnp.where(d + 1 < Lt, trot[:, u : u + 1], tpad)
+            else:  # "pad": d+1 >= Lt for every step of this phase
+                fill = tpad
+            tj[:] = _shift_right(tj_cur, is0, fill)
+
+        def u_steps(it, _):
+            base = it * U
+            for u in range(U):  # static unroll
+                if u % 2 == 0:
+                    one_step(base + u, u, hd1, hd2, hd2)
+                else:
+                    one_step(base + u, u, hd2, hd1, hd1)
+            if fill_mode != "pad":
+                trot[:] = pltpu.roll(trot[:], Lt - U, 1)  # rotate left by U
+            return 0
+
+        return u_steps
 
     # trailing phantom steps (d >= Lq+Lt-1) are harmless: their target
     # stream is all-pad, so every H they produce is gap-chain-bounded
     # strictly below an earlier in-bounds cell and never passes the >
-    # update (dpad covers the padded step count)
-    jax.lax.fori_loop(0, (Lq + Lt - 1 + U - 1) // U, u_steps, 0)
+    # update (the padded iteration count covers them).
+    n_it = (Lq + Lt - 1 + U - 1) // U
+    mask_it = min(n_it, (Lq - 1) // U + 1)          # last it touching d < Lq
+    real_it = min(n_it, max(0, (Lt - 1 - U) // U + 1))  # all fills in range
+    pad_it = min(n_it, (Lt - 2 + U) // U)           # first it with d >= Lt-1
+    bps = sorted({0, mask_it, real_it, pad_it, n_it})
+    for a, b in zip(bps, bps[1:]):
+        if b <= a or a >= n_it:
+            continue
+        fill_mode = "real" if b <= real_it else ("pad" if a >= pad_it else "guard")
+        jax.lax.fori_loop(a, min(b, n_it), make_u_steps(a < mask_it, fill_mode), 0)
 
     bh32 = bh[:].astype(jnp.int32)
     bd32 = bd[:].astype(jnp.int32)
@@ -166,16 +220,23 @@ def _sw_kernel(
     tend_ref[:] = jnp.where(none, -1, j_star)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "no_n"))
 def sw_score_pallas(
     q: jax.Array,
     t: jax.Array,
     params: SWParams = SWParams(),
     interpret: bool = False,
+    no_n: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in replacement for ops.sw.sw_score backed by the Pallas
     kernel. B is padded to a multiple of the block size internally; Lq
-    should be a multiple of 128 for lane alignment (pad via pad_tier)."""
+    should be a multiple of 128 for lane alignment (pad via pad_tier).
+
+    no_n: caller asserts neither input has a mid-sequence N (code 4
+    inside the real sequence; trailing pad 4s are fine) — enables the
+    cheap substitution path (see module docstring). Results remain
+    bit-exact with ops.sw under that precondition.
+    """
     B, Lq = q.shape
     Lt = t.shape[1]
     max_score = params.match * min(Lq, Lt)
@@ -189,6 +250,8 @@ def sw_score_pallas(
     lqp = 1 << (Lq - 1).bit_length()
     if (Lq + Lt) * lqp >= 2 ** 30:
         raise ValueError("Lq*Lt too large for int32 position packing")
+    # the pad-never-wins argument needs strictly-decreasing pad paths
+    no_n = bool(no_n) and params.mismatch > 0 and params.gap_extend > 0
 
     itemsize = jnp.dtype(dt).itemsize
     BB = _pick_bb(B, Lq, Lt, itemsize)
@@ -196,9 +259,13 @@ def sw_score_pallas(
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0)), constant_values=4)
         t = jnp.pad(t, ((0, Bp - B), (0, 0)), constant_values=4)
+    if no_n:
+        # distinct never-matching pad codes (q-pad never equals t-pad)
+        q = jnp.where(q >= 4, jnp.int8(6), q)
+        t = jnp.where(t >= 4, jnp.int8(7), t)
 
     kernel = functools.partial(
-        _sw_kernel, bb=BB, Lq=Lq, Lt=Lt, params=params, dt=dt, neg=neg
+        _sw_kernel, bb=BB, Lq=Lq, Lt=Lt, params=params, dt=dt, neg=neg, no_n=no_n
     )
     grid = (Bp // BB,)
     score, qend, tend = pl.pallas_call(

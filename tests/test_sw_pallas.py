@@ -62,6 +62,69 @@ def test_pallas_custom_params():
     np.testing.assert_array_equal(ref[0], got[0])
 
 
+def _run_fast(q, t, params=SWParams()):
+    import jax.numpy as jnp
+
+    ref = [np.asarray(x) for x in sw_score(jnp.asarray(q), jnp.asarray(t), params)]
+    got = [
+        np.asarray(x)
+        for x in sw_score_pallas(jnp.asarray(q), jnp.asarray(t), params,
+                                 interpret=True, no_n=True)
+    ]
+    return ref, got
+
+
+def test_pallas_no_n_matches_oracle():
+    # ragged lengths -> trailing pad 4s everywhere; no mid-sequence N.
+    # The no_n path must still be bit-exact against the NEG-masking oracle.
+    pairs = CASES + _random_cases(8)
+    pairs = [(a.replace("N", "A"), b.replace("N", "A")) for a, b in pairs]
+    q, t = _pairs_to_batches(pairs, pad_q=128, pad_t=256)
+    ref, got = _run_fast(q, t)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pallas_no_n_rect_and_params():
+    rng = np.random.default_rng(7)
+    qs = ["".join(rng.choice(list("ACGT"), int(n))) for n in rng.integers(40, 120, 12)]
+    ts = ["".join(rng.choice(list("ACGT"), int(n))) for n in rng.integers(150, 300, 12)]
+    for i in range(0, 12, 3):
+        ts[i] = ts[i][:30] + qs[i] + ts[i][30:]
+    q = ReadBatch.from_seqs(qs, pad_to=128).codes
+    t = ReadBatch.from_seqs(ts, pad_to=512).codes
+    for params in (SWParams(), SWParams(match=3, mismatch=2, gap_open=4, gap_extend=2)):
+        ref, got = _run_fast(q, t, params)
+        for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pallas_no_n_falls_back_when_params_unsafe():
+    # mismatch == 0 voids the pad-never-wins proof; the wrapper must
+    # silently ignore no_n and still agree with the oracle even with Ns.
+    params = SWParams(match=2, mismatch=0, gap_open=5, gap_extend=1)
+    pairs = CASES + _random_cases(4)
+    q, t = _pairs_to_batches(pairs, pad_q=128, pad_t=128)
+    ref, got = _run_fast(q, t, params)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pallas_phase_boundaries():
+    # Lq == Lt and Lt >> Lq exercise every (mask, fill) phase layout,
+    # including empty 'real' ranges and the guard block at d == Lt-1.
+    rng = np.random.default_rng(11)
+    for pad_q, pad_t in ((128, 128), (128, 1024), (256, 384)):
+        qs = ["".join(rng.choice(list("ACGT"), 90)) for _ in range(4)]
+        ts = ["".join(rng.choice(list("ACGT"), pad_t - 10)) for _ in range(4)]
+        ts[1] = ts[1][:40] + qs[1] + ts[1][40 + 90:]
+        q = ReadBatch.from_seqs(qs, pad_to=pad_q).codes
+        t = ReadBatch.from_seqs(ts, pad_to=pad_t).codes
+        ref, got = _run_both(q, t)
+        for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} {pad_q}x{pad_t}")
+
+
 def test_pallas_score_overflow_guard():
     import jax.numpy as jnp
 
