@@ -66,39 +66,55 @@ class Contig:
 
 
 class _Growing:
-    """Mutable contig under construction: a base-count matrix over an
-    integer coordinate axis that may extend in both directions."""
+    """Mutable contig under construction: a dense base-count (position
+    vote) matrix over an integer coordinate axis that may extend in both
+    directions. Vectorized — the per-base dict loop was a measured hot
+    spot of the warm panel path; semantics unchanged (uncovered positions
+    decode to N, argmax ties pick the smaller base code)."""
 
-    __slots__ = ("counts", "origin")
+    __slots__ = ("counts", "lo")
 
     def __init__(self):
-        self.counts: Dict[int, np.ndarray] = {}
-        self.origin = 0  # smallest coordinate seen (for rebasing)
+        self.counts = np.zeros((0, 4), dtype=np.int32)  # rows: lo..lo+span
+        self.lo = 0  # contig coordinate of counts[0]
 
     def add_read(self, codes: np.ndarray, offset: int) -> None:
-        for p, c in enumerate(codes):
-            c = int(c)
-            if c >= 4:
-                continue
-            pos = offset + p
-            vec = self.counts.get(pos)
-            if vec is None:
-                vec = np.zeros(4, dtype=np.int32)
-                self.counts[pos] = vec
-            vec[c] += 1
+        codes = np.asarray(codes, dtype=np.int8)
+        n = len(codes)
+        if n == 0 or not (codes < 4).any():
+            return
+        if len(self.counts) == 0:
+            self.lo = offset
+            self.counts = np.zeros((n, 4), dtype=np.int32)
+        else:
+            grow_left = self.lo - offset
+            if grow_left > 0:
+                self.counts = np.vstack(
+                    [np.zeros((grow_left, 4), dtype=np.int32), self.counts]
+                )
+                self.lo = offset
+            grow_right = (offset + n) - (self.lo + len(self.counts))
+            if grow_right > 0:
+                self.counts = np.vstack(
+                    [self.counts, np.zeros((grow_right, 4), dtype=np.int32)]
+                )
+        real = codes < 4
+        pos = (offset - self.lo) + np.nonzero(real)[0]
+        np.add.at(self.counts, (pos, codes[real].astype(np.intp)), 1)
 
     def consensus(self) -> Tuple[str, int]:
         """(consensus string, start coordinate). Gaps in coverage (possible
         only transiently) become N."""
-        if not self.counts:
+        if len(self.counts) == 0:
             return "", 0
-        lo = min(self.counts)
-        hi = max(self.counts)
-        out = np.full(hi - lo + 1, 4, dtype=np.int8)
-        for pos, vec in self.counts.items():
-            # argmax with tie -> smaller base code (np.argmax picks first max)
-            out[pos - lo] = np.argmax(vec)
-        return decode_seq(out), lo
+        covered = self.counts.any(axis=1)
+        # argmax with tie -> smaller base code (np.argmax picks first max)
+        out = np.where(covered, np.argmax(self.counts, axis=1), 4).astype(np.int8)
+        # trim leading/trailing uncovered coordinates (the dict version
+        # only spanned covered min..max)
+        nz = np.nonzero(covered)[0]
+        lo_i, hi_i = int(nz[0]), int(nz[-1])
+        return decode_seq(out[lo_i : hi_i + 1]), self.lo + lo_i
 
 
 def _build_postings(
@@ -166,13 +182,9 @@ def assemble(
     if len(kmer_values) == 0 or len(batch) == 0:
         return []
 
-    import jax.numpy as jnp
-
-    km, valid = kmer_ops.kmer_codes(
-        jnp.asarray(batch.codes), jnp.asarray(batch.lengths), k
-    )
-    km = np.asarray(km)
-    valid = np.asarray(valid)
+    # host twin of the device op: posting lists are consumed on the host,
+    # and a device call here would pay a TPU-relay fetch per region
+    km, valid = kmer_ops.kmer_codes_np(batch.codes, batch.lengths, k)
     postings = _build_postings(km, valid)
 
     sample_only = set(int(v) for v in kmer_values)

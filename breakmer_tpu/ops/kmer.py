@@ -71,6 +71,33 @@ def kmer_codes(codes: jax.Array, lengths: jax.Array, k: int) -> Tuple[jax.Array,
     return jnp.where(valid, acc, SENTINEL), valid
 
 
+def kmer_codes_np(codes: np.ndarray, lengths: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact host-numpy twin of :func:`kmer_codes` (tested for equality).
+
+    The assembler needs the per-read k-mer codes on the HOST to build
+    posting lists; for the few hundred short reads of a region, a numpy
+    rolling evaluation is microseconds while a device call costs a full
+    TPU-relay round-trip (~25 ms fetch) — which dominated warm panel time.
+    """
+    if k > MAX_K_U32:
+        raise ValueError(f"k={k} exceeds uint32 capacity (max {MAX_K_U32})")
+    codes = np.asarray(codes, dtype=np.int8)
+    lengths = np.asarray(lengths, dtype=np.int32)
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0:
+        raise ValueError(f"read length {L} shorter than k={k}")
+    acc = np.zeros((R, W), dtype=np.uint32)
+    bad = np.zeros((R, W), dtype=bool)
+    for j in range(k):
+        window = codes[:, j : j + W]
+        bad |= window >= 4
+        acc = (acc << np.uint32(2)) | np.where(window >= 4, 0, window).astype(np.uint32)
+    pos = np.arange(W, dtype=np.int32)[None, :]
+    valid = (pos <= (lengths[:, None] - k)) & ~bad
+    return np.where(valid, acc, SENTINEL), valid
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def revcomp_kmers(codes: jax.Array, k: int) -> jax.Array:
     """Reverse-complement packed k-mer codes on device (SENTINEL maps to

@@ -31,7 +31,6 @@ from breakmer_tpu.encode import ReadBatch, encode_seq
 from breakmer_tpu.io.bed import TargetRegion, read_targets_bed
 from breakmer_tpu.io.fasta import FastaIndex
 from breakmer_tpu.io.bam import read_alignments
-from breakmer_tpu.io.sam import record_overlaps
 from breakmer_tpu.pipeline import RegionResult, TargetPipeline
 from breakmer_tpu.report import event_row, write_svs_rows
 from breakmer_tpu.utils.logging import get_logger, setup_logger
@@ -51,6 +50,7 @@ class Runner:
         self.other_regions: Dict[str, TargetRegion] = {}
         self.user_filter: Optional[RepeatMask] = None
         self._sample_records: Optional[list] = None
+        self._record_bins = None  # per-chrom (idx, pos, end) interval arrays
         self._indexed_reader = None  # cached BamIndexedReader (.bai path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
@@ -228,8 +228,38 @@ class Runner:
                 "loaded %d alignment records in %.1fs",
                 len(self._sample_records), time.time() - t0,
             )
-        region = (chrom, start, end)
-        return (r for r in self._sample_records if record_overlaps(r, region))
+        if self._record_bins is None:
+            # one-time per-chrom interval arrays: the per-region linear
+            # scan with python record_overlaps calls dominated warm panel
+            # time at O(targets x records). Effective end pos+1 for
+            # unmapped records reproduces record_overlaps exactly
+            # (start <= pos < end  <=>  pos+1 > start and pos < end).
+            recs = self._sample_records
+            by_chrom: Dict[str, list] = {}
+            for i, r in enumerate(recs):
+                by_chrom.setdefault(r.rname, []).append(i)
+            bins = {}
+            for name, idx_list in by_chrom.items():
+                idx = np.asarray(idx_list, dtype=np.int64)
+                pos = np.asarray([recs[i].pos for i in idx_list], dtype=np.int64)
+                eend = np.asarray(
+                    [
+                        recs[i].pos + 1 if recs[i].is_unmapped else recs[i].reference_end()
+                        for i in idx_list
+                    ],
+                    dtype=np.int64,
+                )
+                order = np.argsort(pos, kind="stable")
+                bins[name] = (idx[order], pos[order], eend[order])
+            self._record_bins = bins
+        entry = self._record_bins.get(chrom)
+        if entry is None:
+            return []
+        idx, pos, eend = entry
+        hi = int(np.searchsorted(pos, end, "left"))
+        cand = idx[:hi][eend[:hi] > start]
+        cand.sort()  # restore file order (the scan's iteration order)
+        return [self._sample_records[i] for i in cand]
 
     # -- genome-wide depth for off-region breakpoints -----------------------
     def _global_coverage_at(self, chrom: str, pos: int) -> int:

@@ -106,3 +106,19 @@ def test_sample_only_respects_normal():
         normal_codes=normal.codes, normal_lengths=normal.lengths, min_count=2)
     assert len(v_no_norm) > 0
     assert len(v_norm) == 0
+
+
+def test_kmer_codes_np_matches_device():
+    # host twin used by the assembler must agree exactly with the device op
+    import numpy as np
+    import jax.numpy as jnp
+    from breakmer_tpu.ops import kmer as K
+
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 5, size=(17, 60)).astype(np.int8)  # includes Ns
+    lengths = rng.integers(20, 61, size=17).astype(np.int32)
+    for k in (5, 11, 15):
+        km_d, v_d = K.kmer_codes(jnp.asarray(codes), jnp.asarray(lengths), k)
+        km_h, v_h = K.kmer_codes_np(codes, lengths, k)
+        np.testing.assert_array_equal(np.asarray(km_d), km_h)
+        np.testing.assert_array_equal(np.asarray(v_d), v_h)
