@@ -64,11 +64,16 @@ from breakmer_tpu.ops.sw import SWParams
 
 NEG32 = -(1 << 28)
 NEG16 = -(1 << 14)
-# int16 state would halve vreg traffic, but this toolchain's Mosaic
-# cannot lower lane rotates for non-32-bit vectors ("Rotate with
-# non-32-bit data not implemented", tpu.dynamic_rotate on vector<...xi16>).
-# The dtype machinery below stays; flip this limit positive when Mosaic
-# gains 16-bit rotates.
+# int16 state would halve vreg traffic, but it is blocked on this target
+# at a deeper level than the lane rotate: (a) tpu.dynamic_rotate has no
+# 16-bit lowering — WORKED AROUND via _roll_lanes (pltpu.bitcast packs
+# pairs of BATCH rows per i32 lane, leaving lanes unpacked, so an i32
+# lane roll IS the i16 lane roll; verified bit-exact on hardware) — but
+# (b) 16-bit vector COMPARISONS do not lower at all ("Target does not
+# support this comparison", v5e Mosaic), which kills sub/tie-break/
+# stream selects; arithmetic 0/1-indicator replacements cost back ~all
+# of the halved-vreg win. Flip this limit positive only on a toolchain
+# whose Mosaic lowers 16-bit compares.
 I16_SCORE_LIMIT = -1
 
 
@@ -86,22 +91,40 @@ def _pick_bb(b: int, Lq: int, Lt: int, itemsize: int) -> int:
     return floor
 
 
+def _roll_lanes(x: jax.Array, shift: int) -> jax.Array:
+    """Lane (last-dim) rotate for int32 AND int16. For i16, bitcast to
+    i32 first: pltpu.bitcast packs pairs of BATCH rows per i32 lane, so
+    lanes stay unpacked and the i32 roll moves both rows identically."""
+    if x.dtype == jnp.int16:
+        return pltpu.bitcast(pltpu.roll(pltpu.bitcast(x, jnp.int32), shift, 1), jnp.int16)
+    return pltpu.roll(x, shift, 1)
+
+
 def _shift_right(x: jax.Array, is0: jax.Array, fill) -> jax.Array:
     """new[:, i] = old[:, i-1]; new[:, 0] = fill (is0 = lane-0 mask)."""
-    rolled = pltpu.roll(x, 1, 1)
-    return jnp.where(is0, fill, rolled)
+    return jnp.where(is0, fill, _roll_lanes(x, 1))
 
 
 def _sw_kernel(
-    q_ref, t_ref, score_ref, qend_ref, tend_ref,
-    hd1, hd2, ed1, fd1, bh, bd, tj, trot,
+    q_ref, t_ref, bh, bd,
+    hd1, hd2, ed1, fd1, tj, trot,
     *, bb: int, Lq: int, Lt: int, params: SWParams, dt, neg: int, no_n: bool,
 ):
+    # bh/bd are the OUTPUT refs ([BB, Lq], state dtype): per-column best
+    # score and its diagonal; the cross-column winner pick runs at the
+    # XLA level outside (with int16 state the in-kernel astype(int32) +
+    # broadcast-compare chain hits a Mosaic i1-relayout bug, and the
+    # [B, Lq] HBM write costs nothing next to the sweep)
     go = params.gap_open + params.gap_extend
     ge = params.gap_extend
     tpad = 7 if no_n else 4
     col = jax.lax.broadcasted_iota(jnp.int32, (bb, Lq), 1)
-    is0 = col == 0
+    # masks must carry the STATE dtype's tiling: an i1 mask built from a
+    # 32-bit compare cannot be relayouted onto 16-bit-packed values by
+    # this Mosaic (Invalid relayout vector<...xi1>), so build the loop
+    # masks from a dt-typed iota
+    col_m = col.astype(dt) if dt != jnp.int32 else col
+    is0 = col_m == 0
 
     qv = q_ref[:]
     q_bad = None if no_n else (qv >= 4)
@@ -114,13 +137,13 @@ def _sw_kernel(
     bd[:] = zero
     # diagonal 0 target stream: t[0-i] -> only i=0 is a real base
     tj[:] = jnp.where(is0, t_ref[:, 0:1], tpad)
-    # rotating target: at unroll-iteration ``it``, column u holds the
+    # rotating target: at unroll-iteration ``it``, column u+1 holds the
     # stream fill t[:, it*U + u + 1] (wrapped values where out of range —
     # the guard phase masks them, and the pad phase never reads trot).
     # One big rotate per U steps (amortized ~Lt/U vreg-rolls per step
     # instead of Lt — the per-step whole-target roll was 35% of kernel
     # time).
-    trot[:] = pltpu.roll(t_ref[:], Lt - 1, 1)  # rotate left by 1
+    trot[:] = t_ref[:]
 
     U = 8  # unrolled steps per loop iteration (even: ping-pong pairs)
 
@@ -151,7 +174,7 @@ def _sw_kernel(
             e_new = jnp.maximum(hg, ed1[:] - ge)
             h_diag = _shift_right(h_prev2[:], is0, 0)
             if mask_j0:
-                isj0 = col == d
+                isj0 = col_m == jnp.asarray(d, jnp.int32).astype(dt)
                 e_new = jnp.where(isj0, neg, e_new)
                 h_diag = jnp.where(isj0, 0, h_diag)
             # shift(max(a,b)) == max(shift(a), shift(b)) with one roll
@@ -169,9 +192,9 @@ def _sw_kernel(
             # advance the target stream: tj_{d+1}[i] = tj_d[i-1], new = t[d+1]
             # (static lane slice u of the rotated block — no dynamic indexing)
             if fill_mode == "real":
-                fill = trot[:, u : u + 1]
+                fill = trot[:, u + 1 : u + 2]
             elif fill_mode == "guard":
-                fill = jnp.where(d + 1 < Lt, trot[:, u : u + 1], tpad)
+                fill = jnp.where(d + 1 < Lt, trot[:, u + 1 : u + 2], tpad)
             else:  # "pad": d+1 >= Lt for every step of this phase
                 fill = tpad
             tj[:] = _shift_right(tj_cur, is0, fill)
@@ -184,7 +207,7 @@ def _sw_kernel(
                 else:
                     one_step(base + u, u, hd2, hd1, hd1)
             if fill_mode != "pad":
-                trot[:] = pltpu.roll(trot[:], Lt - U, 1)  # rotate left by U
+                trot[:] = _roll_lanes(trot[:], Lt - U)  # rotate left by U
             return 0
 
         return u_steps
@@ -204,20 +227,7 @@ def _sw_kernel(
         fill_mode = "real" if b <= real_it else ("pad" if a >= pad_it else "guard")
         jax.lax.fori_loop(a, min(b, n_it), make_u_steps(a < mask_it, fill_mode), 0)
 
-    bh32 = bh[:].astype(jnp.int32)
-    bd32 = bd[:].astype(jnp.int32)
-    row_max = jnp.max(bh32, axis=1, keepdims=True)               # [BB, 1]
-    # among max-score columns, minimize (diagonal, lane) lexicographically
-    lqp = 1 << (Lq - 1).bit_length()
-    combined = jnp.where(bh32 == row_max, bd32 * lqp + col, jnp.int32(2 ** 30))
-    m = jnp.min(combined, axis=1, keepdims=True)
-    i_star = m & (lqp - 1)
-    d_star = m >> (lqp - 1).bit_length()
-    j_star = d_star - i_star
-    none = row_max <= 0
-    score_ref[:] = jnp.where(none, 0, row_max)
-    qend_ref[:] = jnp.where(none, -1, i_star)
-    tend_ref[:] = jnp.where(none, -1, j_star)
+    del col
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret", "no_n"))
@@ -268,7 +278,7 @@ def sw_score_pallas(
         _sw_kernel, bb=BB, Lq=Lq, Lt=Lt, params=params, dt=dt, neg=neg, no_n=no_n
     )
     grid = (Bp // BB,)
-    score, qend, tend = pl.pallas_call(
+    bh_out, bd_out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -276,22 +286,18 @@ def sw_score_pallas(
             pl.BlockSpec((BB, Lt), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, Lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, Lq), dt),  # bh: best score per column
+            jax.ShapeDtypeStruct((Bp, Lq), dt),  # bd: its diagonal
         ],
         scratch_shapes=[
             pltpu.VMEM((BB, Lq), dt),  # hd1
             pltpu.VMEM((BB, Lq), dt),  # hd2
             pltpu.VMEM((BB, Lq), dt),  # ed1
             pltpu.VMEM((BB, Lq), dt),  # fd1
-            pltpu.VMEM((BB, Lq), dt),  # bh (best score per column)
-            pltpu.VMEM((BB, Lq), dt),  # bd (its diagonal)
             pltpu.VMEM((BB, Lq), dt),  # tj (target stream)
             pltpu.VMEM((BB, Lt), dt),  # trot (rotating target)
         ],
@@ -302,4 +308,21 @@ def sw_score_pallas(
         ),
         interpret=interpret,
     )(q.astype(dt), t.astype(dt))
-    return score[:B, 0], qend[:B, 0], tend[:B, 0]
+    # cross-column winner (XLA): among max-score columns minimize
+    # (diagonal, lane) lexicographically — identical to argmax-first over
+    # the wavefront (same math the kernel used to do in-core)
+    bh32 = bh_out[:B].astype(jnp.int32)
+    bd32 = bd_out[:B].astype(jnp.int32)
+    row_max = jnp.max(bh32, axis=1)
+    colv = jnp.arange(Lq, dtype=jnp.int32)[None, :]
+    combined = jnp.where(bh32 == row_max[:, None], bd32 * lqp + colv, jnp.int32(2 ** 30))
+    m = jnp.min(combined, axis=1)
+    i_star = m & (lqp - 1)
+    d_star = m >> (lqp - 1).bit_length()
+    j_star = d_star - i_star
+    none = row_max <= 0
+    return (
+        jnp.where(none, 0, row_max),
+        jnp.where(none, -1, i_star),
+        jnp.where(none, -1, j_star),
+    )
