@@ -45,6 +45,11 @@ class Config:
     min_read_len: int = 25         # drop reads shorter than this after trim
     min_sv_reads: int = 2          # skip region if fewer SV reads survive
     min_clip_qual: int = 3         # min avg base quality in the clip (reconstructed)
+    clip_coverage: bool = False    # count soft-clipped bases into breakpoint
+                                   # depth (reference pileup counts aligned
+                                   # bases only; opt-in quality extension —
+                                   # clipped-side breakpoints otherwise read
+                                   # artificially low)
     insert_size_thresh: int = 1000  # |tlen| beyond which a pair is discordant
     region_buffer: int = 200       # bp added on each side of a target region
 

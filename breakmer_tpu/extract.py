@@ -98,8 +98,9 @@ def extract_sv_reads(
     for rec in records:
         n_records += 1
         if not rec.is_unmapped and not rec.is_secondary and not rec.is_supplementary:
-            lo = max(0, rec.pos - start)
-            hi = min(end - start, rec.reference_end() - start)
+            cl, cr = rec.soft_clips() if cfg.clip_coverage else (0, 0)
+            lo = max(0, rec.pos - cl - start)
+            hi = min(end - start, rec.reference_end() + cr - start)
             if hi > lo:
                 cov[lo:hi] += 1
         keep, reason = is_sv_informative(rec, cfg)
@@ -182,9 +183,11 @@ def extract_sv_reads_columnar(
     # coverage over all mapped primary records (duplicates included, as in
     # the record path)
     covered = ~um & ~secondary
+    ccl = cols["clip_left"][idx] if cfg.clip_coverage else np.zeros(len(idx), np.int64)
+    ccr = cols["clip_right"][idx] if cfg.clip_coverage else np.zeros(len(idx), np.int64)
     for i in np.nonzero(covered)[0]:
-        lo = max(0, int(p[i]) - start)
-        hi = min(end - start, int(p[i]) + int(sp[i]) - start)
+        lo = max(0, int(p[i]) - int(ccl[i]) - start)
+        hi = min(end - start, int(p[i]) + int(sp[i]) + int(ccr[i]) - start)
         if hi > lo:
             cov[lo:hi] += 1
     considered = ~secondary & ~dup

@@ -185,18 +185,26 @@ def _parse_record(data, off: int, ref_name) -> SamRecord:
 
 
 class BamIndexedReader:
-    """Random-access BAM reader driven by a BAI index: only the BGZF
-    blocks the index's chunks point at are inflated, so per-region cost is
-    independent of file size (the htslib/pysam fetch analog; reference:
-    target.extract_bam_reads)."""
+    """Random-access BAM reader driven by a BAI or CSI index: only the
+    BGZF blocks the index's chunks point at are inflated, so per-region
+    cost is independent of file size (the htslib/pysam fetch analog;
+    reference: target.extract_bam_reads)."""
 
     def __init__(self, path: str | Path, bai_path: Optional[str | Path] = None):
-        from breakmer_tpu.io.bai import read_bai
-
         self.path = Path(path)
         self._fh = open(self.path, "rb")
-        bai_path = bai_path or (str(path) + ".bai")
-        self.index = read_bai(bai_path)
+        if bai_path is None:
+            bai_path = find_index(path)
+            if bai_path is None:
+                raise FileNotFoundError(f"no .bai/.csi index next to {path}")
+        if str(bai_path).endswith(".csi"):
+            from breakmer_tpu.io.csi import read_csi
+
+            self.index = read_csi(bai_path)
+        else:
+            from breakmer_tpu.io.bai import read_bai
+
+            self.index = read_bai(bai_path)
         self._parse_header()
 
     def close(self) -> None:
@@ -317,13 +325,22 @@ class BamIndexedReader:
                 yield rec
 
 
+def find_index(path: str | Path) -> Optional[str]:
+    """Sidecar index for a BAM, htslib lookup order: .bai then .csi."""
+    for ext in (".bai", ".csi"):
+        cand = str(path) + ext
+        if Path(cand).exists():
+            return cand
+    return None
+
+
 def read_bam(
     path: str | Path, region: Optional[Tuple[str, int, int]] = None
 ) -> Iterator[SamRecord]:
     """Iterate BAM records, optionally restricted to a region. With a
-    sidecar ``.bai`` present, region reads seek straight to the indexed
-    chunks (io.bai) instead of decoding the whole file."""
-    if region is not None and Path(str(path) + ".bai").exists():
+    sidecar ``.bai``/``.csi`` present, region reads seek straight to the
+    indexed chunks (io.bai / io.csi) instead of decoding the whole file."""
+    if region is not None and find_index(path) is not None:
         with BamIndexedReader(path) as reader:
             yield from reader.fetch(*region)
         return
@@ -356,11 +373,12 @@ def write_bam(
     path: str | Path,
     refs: List[Tuple[str, int]],
     records: List[SamRecord],
-    index: bool = False,
+    index: bool | str = False,
 ) -> None:
     """Minimal BAM writer (fixtures, intermediates). With ``index=True``
-    the records must be coordinate-sorted and a sidecar ``<path>.bai`` is
-    written alongside (the `samtools index` analog, io.bai)."""
+    (or ``"bai"``/``"csi"``) the records must be coordinate-sorted and a
+    sidecar index is written alongside (the `samtools index` analog;
+    io.bai / io.csi)."""
     rid: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
     if index:
         keyed = [
@@ -421,8 +439,6 @@ def write_bam(
     def voffset(u: int) -> int:
         return (block_offsets[u // BGZF_BLOCK_U] << 16) | (u % BGZF_BLOCK_U)
 
-    from breakmer_tpu.io.bai import build_bai, write_bai
-
     entries = []
     for rec, u0, u1 in zip(records, rec_offsets, rec_offsets[1:]):
         r = rid.get(rec.rname, -1)
@@ -430,4 +446,11 @@ def write_bam(
             continue
         end = rec.pos + 1 if rec.is_unmapped else rec.reference_end()
         entries.append((r, rec.pos, end, voffset(u0), voffset(u1)))
-    write_bai(str(path) + ".bai", build_bai(len(refs), entries))
+    if index == "csi":
+        from breakmer_tpu.io.csi import build_csi, write_csi
+
+        write_csi(str(path) + ".csi", build_csi(len(refs), entries))
+    else:
+        from breakmer_tpu.io.bai import build_bai, write_bai
+
+        write_bai(str(path) + ".bai", build_bai(len(refs), entries))

@@ -51,7 +51,7 @@ class Runner:
         self.user_filter: Optional[RepeatMask] = None
         self._sample_records: Optional[list] = None
         self._record_bins = None  # per-chrom (idx, pos, end) interval arrays
-        self._indexed_reader = None  # cached BamIndexedReader (.bai path)
+        self._indexed_reader = None  # cached BamIndexedReader (indexed path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
 
@@ -208,16 +208,16 @@ class Runner:
         the file is parsed ONCE and filtered in memory per region —
         re-parsing the whole SAM/BAM per target dominated panel runtime
         (one pass is also what the reference's BAM index achieves). With
-        preload off and a sidecar .bai, a cached indexed reader serves
+        preload off and a sidecar .bai/.csi, a cached indexed reader serves
         each region by seeking (whole-genome BAMs: per-region cost is
         independent of file size)."""
         cfg = self.cfg
         if not cfg.preload_alignments:
             bam = str(cfg.sample_bam_file)
-            if bam.endswith(".bam") and Path(bam + ".bai").exists():
-                if self._indexed_reader is None:
-                    from breakmer_tpu.io.bam import BamIndexedReader
+            from breakmer_tpu.io.bam import BamIndexedReader, find_index
 
+            if bam.endswith(".bam") and find_index(bam) is not None:
+                if self._indexed_reader is None:
                     self._indexed_reader = BamIndexedReader(bam)
                 return self._indexed_reader.fetch(chrom, start, end)
             return read_alignments(cfg.sample_bam_file, region=(chrom, start, end))

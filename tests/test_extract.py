@@ -155,3 +155,23 @@ def test_clean_reads_adapter_5p_partial_and_errors():
     out = clean_reads(ReadBatch.from_seqs([seq], quals=q(seq)),
                       adapter_5p=adapter, min_len=10)
     assert out.seq(0) == core
+
+
+def test_clip_coverage_counts_softclip_spans():
+    # read clipped on the right at pos 580 (60M40S starting 520): with the
+    # flag on, the clipped 40 bases extend depth past the junction
+    records = [
+        _rec(qname="a", cigar="100M", pos=500),
+        _rec(qname="b", cigar="60M40S", pos=520),
+    ]
+    off = Config()
+    on = Config(clip_coverage=True)
+    res_off = extract_sv_reads(records, ("chr1", 400, 800), off)
+    res_on = extract_sv_reads(records, ("chr1", 400, 800), on)
+    # junction at 580: clipped read contributes only with the flag
+    assert res_off.coverage_at("chr1", 590) == 1
+    assert res_on.coverage_at("chr1", 590) == 2
+    # clipped extension is bounded by the read's clip length
+    assert res_on.coverage_at("chr1", 621) == 0
+    # aligned spans unchanged
+    assert res_off.coverage_at("chr1", 550) == res_on.coverage_at("chr1", 550) == 2

@@ -126,21 +126,21 @@ def test_columnar_extraction_matches_record_path(tmp_path):
     path = tmp_path / "mix.bam"
     write_bam(path, refs, records)
 
-    cfg = Config()
     region = ("chr1", 900, 2500)
-    ref_out = extract_sv_reads(read_bam(path, region=region), region, cfg)
     reader = BamReader(path)
     cols = native.bam_decode_columns(reader._data, reader._align_off)
-    col_out = extract_sv_reads_columnar(
-        cols, [n for n, _ in reader.refs], region, cfg)
+    for cfg in (Config(), Config(clip_coverage=True)):
+        ref_out = extract_sv_reads(read_bam(path, region=region), region, cfg)
+        col_out = extract_sv_reads_columnar(
+            cols, [n for n, _ in reader.refs], region, cfg)
 
-    assert col_out.n_records == ref_out.n_records
-    assert col_out.n_sv_reads == ref_out.n_sv_reads
-    assert col_out.batch.names == ref_out.batch.names
-    for i in range(len(ref_out.batch)):
-        assert col_out.batch.seq(i) == ref_out.batch.seq(i)
-    assert col_out.disc.pairs == ref_out.disc.pairs
-    np.testing.assert_array_equal(col_out.coverage, ref_out.coverage)
+        assert col_out.n_records == ref_out.n_records
+        assert col_out.n_sv_reads == ref_out.n_sv_reads
+        assert col_out.batch.names == ref_out.batch.names
+        for i in range(len(ref_out.batch)):
+            assert col_out.batch.seq(i) == ref_out.batch.seq(i)
+        assert col_out.disc.pairs == ref_out.disc.pairs
+        np.testing.assert_array_equal(col_out.coverage, ref_out.coverage)
 
 
 def test_pack_2bit_matches_numpy():
