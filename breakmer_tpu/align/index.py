@@ -117,44 +117,65 @@ class SeedIndex:
         clipped to the target. Windows are ranked by seed count. This is
         the blat-equivalent seed stage (SURVEY.md §7 layer 4).
         """
-        out: List[Window] = []
         L = len(query_codes)
-        for strand, q in (("+", query_codes), ("-", revcomp_codes(query_codes))):
-            qp, tp = self.hits(q)
-            if len(qp) == 0:
+        hits_by_strand = [
+            ("+", *self.hits(query_codes)),
+            ("-", *self.hits(revcomp_codes(query_codes))),
+        ]
+        return cluster_candidates(
+            hits_by_strand, self.length, L, band, pad, max_windows, min_seeds
+        )
+
+
+def cluster_candidates(
+    hits_by_strand,
+    target_length: int,
+    L: int,
+    band: int = 48,
+    pad: int = 96,
+    max_windows: int = 8,
+    min_seeds: int = 2,
+) -> List[Window]:
+    """Shared clustering core (SeedIndex AND the mesh-sharded index use
+    this exact code path, so their candidate windows are identical by
+    construction). ``hits_by_strand``: [(strand, q_pos[], t_pos[])] with
+    hits ordered (q_pos asc, then table run order)."""
+    out: List[Window] = []
+    for strand, qp, tp in hits_by_strand:
+        if len(qp) == 0:
+            continue
+        diag = np.asarray(tp) - np.asarray(qp)
+        order = np.argsort(diag, kind="stable")
+        diag = diag[order]
+        # cluster: split where diagonal jumps by more than `band`
+        splits = np.nonzero(np.diff(diag) > band)[0] + 1
+        for grp in np.split(np.arange(len(diag)), splits):
+            if len(grp) < min_seeds:
                 continue
-            diag = tp - qp
-            order = np.argsort(diag, kind="stable")
-            diag = diag[order]
-            # cluster: split where diagonal jumps by more than `band`
-            splits = np.nonzero(np.diff(diag) > band)[0] + 1
-            for grp in np.split(np.arange(len(diag)), splits):
-                if len(grp) < min_seeds:
-                    continue
-                d_lo = int(diag[grp[0]])
-                d_hi = int(diag[grp[-1]])
-                t_start = max(0, d_lo - pad)
-                t_end = min(self.length, d_hi + L + pad)
-                if t_end <= t_start:
-                    continue
-                out.append(Window(t_start, t_end, strand, int(len(grp))))
-        out.sort(key=lambda w: (-w.nseeds, w.t_start, w.strand))
-        # merge overlapping same-strand windows (keep the larger seed count)
-        merged: List[Window] = []
-        for w in out:
-            absorbed = False
-            for m in merged:
-                if m.strand == w.strand and not (
-                    w.t_end <= m.t_start or w.t_start >= m.t_end
-                ):
-                    m.t_start = min(m.t_start, w.t_start)
-                    m.t_end = max(m.t_end, w.t_end)
-                    m.nseeds += w.nseeds
-                    absorbed = True
-                    break
-            if not absorbed:
-                merged.append(w)
-        return merged[:max_windows]
+            d_lo = int(diag[grp[0]])
+            d_hi = int(diag[grp[-1]])
+            t_start = max(0, d_lo - pad)
+            t_end = min(target_length, d_hi + L + pad)
+            if t_end <= t_start:
+                continue
+            out.append(Window(t_start, t_end, strand, int(len(grp))))
+    out.sort(key=lambda w: (-w.nseeds, w.t_start, w.strand))
+    # merge overlapping same-strand windows (keep the larger seed count)
+    merged: List[Window] = []
+    for w in out:
+        absorbed = False
+        for m in merged:
+            if m.strand == w.strand and not (
+                w.t_end <= m.t_start or w.t_start >= m.t_end
+            ):
+                m.t_start = min(m.t_start, w.t_start)
+                m.t_end = max(m.t_end, w.t_end)
+                m.nseeds += w.nseeds
+                absorbed = True
+                break
+        if not absorbed:
+            merged.append(w)
+    return merged[:max_windows]
 
 
 class GenomeIndex:
