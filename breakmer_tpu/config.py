@@ -82,6 +82,10 @@ class Config:
     keep_intron_vars: bool = False
 
     build_genome_index: bool = True  # in-memory genome seed index (gfServer analog)
+    shard_genome_index: bool = False  # shard the seed table across the device
+                                      # mesh with collective lookups (v2 of the
+                                      # gfServer replacement; needs >1 device —
+                                      # silently stays replicated otherwise)
     device: str = "auto"           # auto | cpu | tpu (see breakmer_tpu.device)
 
     # --- device / parallel ------------------------------------------------

@@ -119,6 +119,20 @@ class Runner:
                 if cache is not None:
                     self.genome.save(cache)
                 log.info("genome index built in %.1fs", time.time() - t0)
+        if self.genome is not None and cfg.shard_genome_index:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from breakmer_tpu.parallel.index_shard import ShardedGenomeIndex
+
+                self.genome = ShardedGenomeIndex(self.genome)
+                log.info(
+                    "genome seed table sharded over %d devices",
+                    self.genome.mesh.devices.size,
+                )
+            else:
+                log.info("shard_genome_index requested but only 1 device; "
+                         "keeping the replicated index")
         if cfg.repeat_mask_file:
             self.rmask = RepeatMask.from_bed(cfg.repeat_mask_file)
         if cfg.other_regions_file:

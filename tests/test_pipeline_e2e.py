@@ -10,7 +10,7 @@ import pytest
 from breakmer_tpu.cli import main as cli_main
 from breakmer_tpu.config import Config
 from breakmer_tpu.io.fasta import write_fasta
-from breakmer_tpu.report import read_svs_out
+from breakmer_tpu.report import event_row, read_svs_out
 from breakmer_tpu.runner import Runner
 from tests.fixtures import Haplotype, NovelBlock, RefBlock, SamBuilder, rand_seq
 
@@ -449,3 +449,23 @@ def test_e2e_indexed_bam_no_preload(panel, tmp_path):
     key = lambda r: (r["genes"], r["sv_type"], r["sv_subtype"],
                      r["target_breakpoints"], r["contig_seq"])
     assert sorted(bai_out, key=key) == sorted(sam_out, key=key)
+
+
+def test_e2e_sharded_genome_index_identical(panel, tmp_path):
+    """Full run with the mesh-sharded genome index (8 virtual CPU
+    devices) must produce byte-identical calls to the replicated index
+    (cross-path identity; SURVEY.md §2b index sharding v2)."""
+    work, cfg, _ = panel
+    base = Runner(Config(**{**cfg.__dict__,
+                            "analysis_dir": str(tmp_path / "rep")}))
+    base.setup()
+    ref_events = base.run()
+
+    r2 = Runner(Config(**{**cfg.__dict__,
+                          "analysis_dir": str(tmp_path / "shard"),
+                          "shard_genome_index": True}))
+    r2.setup()
+    from breakmer_tpu.parallel.index_shard import ShardedGenomeIndex
+    assert isinstance(r2.genome, ShardedGenomeIndex)
+    got_events = r2.run()
+    assert [event_row(e) for e in got_events] == [event_row(e) for e in ref_events]
