@@ -84,6 +84,18 @@ def merge_ledger_shards(
                     have = json.loads(path.read_text())
                 except json.JSONDecodeError:
                     have = {}  # mid-write; retry
+            # overlay the shard's append log (workers checkpoint regions
+            # as O(1) JSONL appends; the snapshot only exists once a
+            # worker finalizes — see Runner._append_ledger)
+            ap = path.with_suffix(".jsonl")
+            if ap.exists():
+                for line in ap.read_text().splitlines():
+                    if line.strip():
+                        try:
+                            rec = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue  # torn tail line mid-write
+                        have[rec["name"]] = rec["entry"]
             if want.issubset(have):
                 merged.update({k: v for k, v in have.items() if k in want})
                 break

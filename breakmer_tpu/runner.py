@@ -174,14 +174,36 @@ class Runner:
             return shard_ledger_path(self.cfg.analysis_dir, self.process_index)
         return Path(self.cfg.analysis_dir) / "ledger.json"
 
+    @property
+    def _ledger_append_path(self) -> Path:
+        return self._ledger_path.with_suffix(".jsonl")
+
     def _load_ledger(self) -> Dict[str, dict]:
+        """Snapshot overlaid with the append log (crash-safe resume)."""
+        ledger: Dict[str, dict] = {}
         if self._ledger_path.exists():
-            return json.loads(self._ledger_path.read_text())
-        return {}
+            ledger = json.loads(self._ledger_path.read_text())
+        ap = self._ledger_append_path
+        if ap.exists():
+            for line in ap.read_text().splitlines():
+                if line.strip():
+                    rec = json.loads(line)
+                    ledger[rec["name"]] = rec["entry"]
+        return ledger
+
+    def _append_ledger(self, name: str, entry: dict) -> None:
+        """O(1) per-region checkpoint: one JSON line appended. Rewriting
+        the whole ledger per region was O(panel^2) and measured at 35% of
+        a 100-gene warm run; the consolidated ledger.json is written once
+        at finalize."""
+        self._ledger_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self._ledger_append_path, "a") as fh:
+            fh.write(json.dumps({"name": name, "entry": entry}) + "\n")
 
     def _save_ledger(self, ledger: Dict[str, dict]) -> None:
         self._ledger_path.parent.mkdir(parents=True, exist_ok=True)
         self._ledger_path.write_text(json.dumps(ledger, indent=1))
+        self._ledger_append_path.unlink(missing_ok=True)
 
     # -- alignment streaming -----------------------------------------------
     def _columnar_extract(self, target: TargetRegion):
@@ -404,7 +426,7 @@ class Runner:
                 "elapsed_s": round(time.time() - t0, 3),
                 "stats": _region_stats(result),
             }
-            self._save_ledger(ledger)
+            self._append_ledger(name, ledger[name])
         return self._finalize(ledger, all_events, t_start)
 
     def _vcf_records(self, region: str, events: List[SVEvent]) -> List[dict]:
@@ -548,7 +570,7 @@ class Runner:
                 "elapsed_s": round(time.time() - t0, 3),
                 "stats": _region_stats(result),
             }
-            self._save_ledger(ledger)
+            self._append_ledger(name, ledger[name])
         return self._finalize(ledger, all_events, t_start)
 
     def _annotate_other_regions(self, events: List[SVEvent]) -> None:
@@ -584,6 +606,7 @@ class Runner:
             ledger = merge_ledger_shards(
                 cfg.analysis_dir, self.all_target_names, self.process_count
             )
+        self._save_ledger(ledger if not cfg.multihost else self._load_ledger())
         # aggregate from the ledger so resumed targets keep their calls
         order = self.all_target_names if cfg.multihost else list(self.targets)
         all_rows = [

@@ -87,3 +87,28 @@ def test_e2e_multihost_single_process(tmp_path):
     mh = read_svs_out(Path(tmp_path) / "mh" / "output" / "mh_svs.out")
     assert mh == plain and len(mh) == 1
     assert shard_ledger_path(tmp_path / "mh", 0).exists()
+
+
+def test_ledger_append_log_resume(tmp_path):
+    """A run interrupted before finalize leaves only the JSONL append
+    log; _load_ledger must overlay it (crash-safe region checkpoints)."""
+    from breakmer_tpu.config import Config
+    from breakmer_tpu.runner import Runner
+
+    cfg = Config(analysis_name="x", analysis_dir=str(tmp_path),
+                 targets_bed_file="unused", reference_fasta="unused",
+                 sample_bam_file="unused")
+    r = Runner(cfg)
+    r.process_index, r.process_count = 0, 1
+    r._append_ledger("GENE0", {"rows": [], "error": None})
+    r._append_ledger("GENE1", {"rows": [["a"]], "error": None})
+    r._append_ledger("GENE1", {"rows": [["b"]], "error": None})  # re-run wins
+    assert not (tmp_path / "ledger.json").exists()
+    led = r._load_ledger()
+    assert set(led) == {"GENE0", "GENE1"}
+    assert led["GENE1"]["rows"] == [["b"]]
+    # finalize-style snapshot consolidates and clears the log
+    r._save_ledger(led)
+    assert (tmp_path / "ledger.json").exists()
+    assert not (tmp_path / "ledger.jsonl").exists()
+    assert r._load_ledger() == led
