@@ -232,16 +232,39 @@ def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):
 
 
 def traceback_align(
-    q: np.ndarray, t: np.ndarray, params: SWParams = SWParams()
+    q: np.ndarray, t: np.ndarray, params: SWParams = SWParams(),
+    use_native: bool = True,
 ) -> Alignment:
     """Full local alignment of base-code arrays q vs t.
 
-    Returns a zero-score empty Alignment when nothing aligns.
+    Returns a zero-score empty Alignment when nothing aligns. The C++
+    fill+traceback (native/breakmer_native.cc nat_sw_traceback) is used
+    when available — tested byte-identical to this module's numpy path,
+    which remains the oracle and the fallback.
     """
     q = np.asarray(q, dtype=np.int8)
     t = np.asarray(t, dtype=np.int8)
     if len(q) == 0 or len(t) == 0:
         return Alignment(0, 0, 0, 0, 0, [], 0, 0)
+    if use_native:
+        from breakmer_tpu import native
+
+        res = native.sw_traceback(
+            q, t, params.match, params.mismatch,
+            params.gap_open, params.gap_extend,
+        )
+        if res is not None:
+            score, q0, q1, t0, t1, matches, mismatches, ops_rev = res
+            if score <= 0:
+                return Alignment(0, 0, 0, 0, 0, [], 0, 0)
+            ops: List[Tuple[str, int]] = []
+            for b in reversed(ops_rev):
+                op = chr(b)
+                if ops and ops[-1][0] == op:
+                    ops[-1] = (op, ops[-1][1] + 1)
+                else:
+                    ops.append((op, 1))
+            return Alignment(score, q0, q1, t0, t1, ops, matches, mismatches)
     H, E, F, best, bi, bj = _fill(q, t, params)
     if best <= 0:
         return Alignment(0, 0, 0, 0, 0, [], 0, 0)

@@ -61,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nat_fastq_decode.argtypes = [ctypes.c_char_p, u64] + [vp] * 4 + [u64] * 3
     lib.nat_pack_2bit.restype = ctypes.c_int
     lib.nat_pack_2bit.argtypes = [vp, u64, vp]
+    lib.nat_sw_traceback.restype = ctypes.c_int
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    lib.nat_sw_traceback.argtypes = [
+        vp, i64, vp, i64, i32, i32, i32, i32, vp, vp,
+    ]
     _lib = lib
     return lib
 
@@ -183,3 +189,32 @@ def pack_2bit(codes: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def sw_traceback(q: np.ndarray, t: np.ndarray, match: int, mismatch: int,
+                 gap_open: int, gap_extend: int):
+    """Native affine SW fill + traceback (align/traceback.py fast path).
+
+    Returns (score, q_start, q_end, t_start, t_end, matches, mismatches,
+    ops_reversed_bytes) or None when unavailable/fallback-required —
+    callers keep the numpy oracle path.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    out = np.zeros(8, dtype=np.int32)
+    ops = np.zeros(len(q) + len(t) + 2, dtype=np.uint8)
+    rc = lib.nat_sw_traceback(
+        q.ctypes.data, len(q), t.ctypes.data, len(t),
+        match, mismatch, gap_open, gap_extend,
+        out.ctypes.data, ops.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    n_ops = int(out[7])
+    return (
+        int(out[0]), int(out[1]), int(out[2]), int(out[3]), int(out[4]),
+        int(out[5]), int(out[6]), ops[:n_ops].tobytes(),
+    )

@@ -291,6 +291,125 @@ int nat_fastq_decode(const uint8_t* data, uint64_t len, int8_t* codes,
 // 2-bit packing (faToTwoBit replacement backend)
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Winner-only affine SW fill + traceback (host side of the realignment
+// engine; semantics IDENTICAL to align/traceback.py traceback_align,
+// which stays as the tested oracle/fallback). Reference equivalent: the
+// PSL rows blat emits per contig (sv_caller.py blat_res).
+// ---------------------------------------------------------------------------
+
+static const int32_t kNeg = -(1 << 28);
+
+// out_ints: [score, q_start, q_end, t_start, t_end, matches, mismatches,
+// n_ops]; ops_rev: caller buffer of at least n+m+2 chars, filled with the
+// traceback ops ('M','I','D') from the alignment END backwards.
+// Returns 0 ok (incl. empty alignment), 1 alloc failure.
+int nat_sw_traceback(const int8_t* q, int64_t n, const int8_t* t, int64_t m,
+                     int32_t match, int32_t mismatch, int32_t gap_open,
+                     int32_t gap_extend, int32_t* out_ints, char* ops_rev) {
+  for (int k = 0; k < 8; k++) out_ints[k] = 0;
+  if (n <= 0 || m <= 0) return 0;
+  const int64_t W = m + 1;
+  int32_t* H = (int32_t*)std::malloc(sizeof(int32_t) * (n + 1) * W);
+  int32_t* E = (int32_t*)std::malloc(sizeof(int32_t) * (n + 1) * W);
+  int32_t* F = (int32_t*)std::malloc(sizeof(int32_t) * (n + 1) * W);
+  if (!H || !E || !F) {
+    std::free(H); std::free(E); std::free(F);
+    return 1;
+  }
+  const int32_t go = gap_open + gap_extend;
+  const int32_t ge = gap_extend;
+  for (int64_t j = 0; j <= m; j++) { H[j] = 0; E[j] = kNeg; F[j] = kNeg; }
+  int32_t best = 0; int64_t bd = INT64_MAX, bi = -1, bj = -1;
+  for (int64_t i = 1; i <= n; i++) {
+    int32_t* Hi = H + i * W; int32_t* Hp = H + (i - 1) * W;
+    int32_t* Ei = E + i * W; int32_t* Fi = F + i * W;
+    int32_t* Fp = F + (i - 1) * W;
+    Hi[0] = 0; Ei[0] = kNeg; Fi[0] = kNeg;
+    const int8_t qc = q[i - 1];
+    int32_t row_best = 0; int64_t row_j = -1;
+    for (int64_t j = 1; j <= m; j++) {
+      int32_t f = Hp[j] - go;
+      int32_t f2 = Fp[j] - ge;
+      if (f2 > f) f = f2;
+      Fi[j] = f;
+      // E: recurrence form; E[i][1] pinned to NEG exactly like the
+      // numpy fill (it assigns E[:, 2:] only)
+      int32_t e = kNeg;
+      if (j >= 2) {
+        e = Hi[j - 1] - go;
+        int32_t e2 = Ei[j - 1] - ge;
+        if (e2 > e) e = e2;
+      }
+      Ei[j] = e;
+      const int8_t tc = t[j - 1];
+      int32_t sub = (qc >= 4 || tc >= 4) ? kNeg
+                    : (qc == tc ? match : -mismatch);
+      int32_t h = Hp[j - 1] + sub;
+      if (h < 0) h = 0;
+      if (f > h) h = f;
+      if (e > h) h = e;
+      Hi[j] = h;
+      if (h > row_best) { row_best = h; row_j = j - 1; }  // first max
+    }
+    if (row_j >= 0) {
+      int64_t d = (i - 1) + row_j;
+      if (row_best > best || (row_best == best && d < bd)) {
+        best = row_best; bd = d; bi = i - 1; bj = row_j;
+      }
+    }
+  }
+  if (best <= 0) {
+    std::free(H); std::free(E); std::free(F);
+    out_ints[1] = out_ints[2] = out_ints[3] = out_ints[4] = 0;
+    return 0;
+  }
+  // traceback (mirrors traceback_align's state machine exactly)
+  int64_t i = bi + 1, j = bj + 1;
+  int64_t nops = 0;
+  int32_t matches = 0, mismatches = 0;
+  char state = 'H';
+  while (i > 0 && j > 0) {
+    if (state == 'H') {
+      int32_t h = H[i * W + j];
+      if (h == 0) break;
+      const int8_t qc = q[i - 1], tc = t[j - 1];
+      int32_t sub = (qc >= 4 || tc >= 4) ? kNeg
+                    : (qc == tc ? match : -mismatch);
+      if (h == H[(i - 1) * W + (j - 1)] + sub) {
+        ops_rev[nops++] = 'M';
+        if (qc == tc) matches++; else mismatches++;
+        i--; j--;
+      } else if (h == E[i * W + j]) {
+        state = 'E';
+      } else if (h == F[i * W + j]) {
+        state = 'F';
+      } else {
+        std::free(H); std::free(E); std::free(F);
+        return 2;  // inconsistent cell: caller falls back to python
+      }
+    } else if (state == 'E') {
+      ops_rev[nops++] = 'D';
+      if (E[i * W + j] == H[i * W + (j - 1)] - go) state = 'H';
+      j--;
+    } else {
+      ops_rev[nops++] = 'I';
+      if (F[i * W + j] == H[(i - 1) * W + j] - go) state = 'H';
+      i--;
+    }
+  }
+  out_ints[0] = best;
+  out_ints[1] = (int32_t)i;        // q_start
+  out_ints[2] = (int32_t)(bi + 1); // q_end
+  out_ints[3] = (int32_t)j;        // t_start
+  out_ints[4] = (int32_t)(bj + 1); // t_end
+  out_ints[5] = matches;
+  out_ints[6] = mismatches;
+  out_ints[7] = (int32_t)nops;
+  std::free(H); std::free(E); std::free(F);
+  return 0;
+}
+
 int nat_pack_2bit(const int8_t* codes, uint64_t n, uint32_t* out) {
   uint64_t words = (n + 15) / 16;
   for (uint64_t w = 0; w < words; w++) {

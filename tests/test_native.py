@@ -150,3 +150,43 @@ def test_pack_2bit_matches_numpy():
     codes = rng.integers(0, 5, 1000).astype(np.int8)
     nat = native.pack_2bit(codes)
     np.testing.assert_array_equal(nat, np_pack(codes))
+
+
+def test_native_sw_traceback_matches_python():
+    """nat_sw_traceback must be byte-identical to the numpy oracle path
+    (score, coords, ops, match counts) across random and adversarial
+    cases including Ns, empty alignments, and gap-heavy pairs."""
+    import pytest
+    from breakmer_tpu.align.traceback import traceback_align
+    from breakmer_tpu.ops.sw import SWParams
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+    cases = []
+    for _ in range(30):
+        n = int(rng.integers(5, 200))
+        m = int(rng.integers(5, 400))
+        q = rng.integers(0, 4, n).astype(np.int8)
+        t = rng.integers(0, 4, m).astype(np.int8)
+        cases.append((q, t))
+    # planted: exact hit, gapped hit, N-masked, all-mismatch
+    base = rng.integers(0, 4, 120).astype(np.int8)
+    tgt = np.concatenate([rng.integers(0, 4, 40).astype(np.int8), base,
+                          rng.integers(0, 4, 40).astype(np.int8)])
+    cases.append((base, tgt))
+    gapq = np.concatenate([base[:60], base[80:]])
+    cases.append((gapq, tgt))
+    qn = base.copy(); qn[50:60] = 4
+    cases.append((qn, tgt))
+    cases.append((np.zeros(30, np.int8), np.full(50, 3, np.int8)))
+    params_list = [SWParams(), SWParams(match=3, mismatch=2, gap_open=4, gap_extend=2)]
+    for q, t in cases:
+        for params in params_list:
+            a = traceback_align(q, t, params, use_native=False)
+            b = traceback_align(q, t, params, use_native=True)
+            assert (a.score, a.q_start, a.q_end, a.t_start, a.t_end,
+                    a.matches, a.mismatches, a.ops) == \
+                   (b.score, b.q_start, b.q_end, b.t_start, b.t_end,
+                    b.matches, b.mismatches, b.ops)
