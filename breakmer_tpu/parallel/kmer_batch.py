@@ -51,6 +51,20 @@ def _compiled_kmer_step(k: int, min_count: int, mesh_id: Optional[int]) -> Calla
 _MESHES: Dict[int, jax.sharding.Mesh] = {}
 
 
+def _postprocess(batch: RegionBatch, values: np.ndarray, counts: np.ndarray):
+    out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for g, name in enumerate(batch.names):
+        if not name:
+            continue
+        v = values[g]
+        c = counts[g]
+        keep = (v != _SENTINEL) & (c > 0)
+        v, c = v[keep], c[keep]
+        order = np.lexsort((v, -c.astype(np.int64)))
+        out[name] = (v[order], c[order])
+    return out
+
+
 def run_kmer_batch(
     batch: RegionBatch,
     k: int,
@@ -65,24 +79,31 @@ def run_kmer_batch(
     Note: the in-device reference subtraction covers both strands; normal
     -sample subtraction is not batched (regions with a matched normal use
     the serial path)."""
+    return run_kmer_batches([batch], k, min_count, mesh)
+
+
+def run_kmer_batches(
+    batches,
+    k: int,
+    min_count: int = 2,
+    mesh: Optional[jax.sharding.Mesh] = None,
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Pipelined multi-batch form: dispatch EVERY tier's launch before
+    fetching anything (JAX dispatch is async), then one device_get for
+    all outputs. Per-fetch TPU-relay round-trips (~30 ms each) dominated
+    the panel's k-mer stage when each batch synced before the next
+    dispatched."""
     mesh_id = None
     if mesh is not None:
         mesh_id = id(mesh)
         _MESHES[mesh_id] = mesh
     step = _compiled_kmer_step(k, min_count, mesh_id)
-    values, counts = step(
-        batch.reads, batch.lengths, batch.refs, batch.ref_lengths
-    )
-    values = np.asarray(values)
-    counts = np.asarray(counts)
+    batches = list(batches)
+    pending = [
+        step(b.reads, b.lengths, b.refs, b.ref_lengths) for b in batches
+    ]
+    fetched = jax.device_get(pending)
     out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-    for g, name in enumerate(batch.names):
-        if not name:
-            continue
-        v = values[g]
-        c = counts[g]
-        keep = (v != _SENTINEL) & (c > 0)
-        v, c = v[keep], c[keep]
-        order = np.lexsort((v, -c.astype(np.int64)))
-        out[name] = (v[order], c[order])
+    for b, (values, counts) in zip(batches, fetched):
+        out.update(_postprocess(b, np.asarray(values), np.asarray(counts)))
     return out

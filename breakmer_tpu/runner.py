@@ -448,7 +448,7 @@ class Runner:
         multi-region device launches (parallel/kmer_batch), then per-region
         assemble/realign/call. Regions with a matched normal fall back to
         the serial path (normal subtraction is not batched)."""
-        from breakmer_tpu.parallel.kmer_batch import run_kmer_batch
+        from breakmer_tpu.parallel.kmer_batch import run_kmer_batches
         from breakmer_tpu.parallel.regions import pack_region_batches
 
         cfg = self.cfg
@@ -499,12 +499,10 @@ class Runner:
         if mesh is not None:
             r_axis = mesh.devices.shape[0]
             rpb = r_axis * max(1, rpb // r_axis)
-        kmers_by_region: Dict[str, tuple] = {}
-        for batch in pack_region_batches(packable, regions_per_batch=rpb):
-            kmers_by_region.update(
-                run_kmer_batch(batch, cfg.kmer_size, cfg.min_kmer_count,
-                               mesh=mesh)
-            )
+        kmers_by_region = run_kmer_batches(
+            pack_region_batches(packable, regions_per_batch=rpb),
+            cfg.kmer_size, cfg.min_kmer_count, mesh=mesh,
+        )
 
         # phase C: assemble all regions (host), then realign EVERY contig
         # of the panel in lockstep batched device launches, then classify
