@@ -62,3 +62,20 @@ def configure(device: str = "auto") -> str:
 
 def device_count() -> int:
     return len(jax.devices())
+
+
+def commit_local(*arrays):
+    """Commit host arrays to this process's first local device.
+
+    Under multi-process JAX (jax.distributed initialized), jit treats
+    uncommitted numpy args as GLOBAL inputs and refuses them; committing
+    to a local device keeps the computation process-local — which is this
+    framework's multihost model: regions are partitioned across processes
+    and each process runs its own device pipeline (SURVEY.md §2b), only
+    the call-set merge crosses processes.
+    """
+    if jax.process_count() <= 1:
+        return arrays if len(arrays) != 1 else arrays[0]
+    dev = jax.local_devices()[0]
+    out = tuple(jax.device_put(a, dev) for a in arrays)
+    return out if len(out) != 1 else out[0]

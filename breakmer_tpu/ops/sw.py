@@ -156,5 +156,8 @@ def sw_score_batch(q, t, params: SWParams = SWParams(), no_n: bool = False):
     """Convenience: accepts numpy arrays, returns numpy (host driver use).
     One device_get for all three outputs — separate np.asarray calls cost
     a TPU-relay round-trip each (~30 ms)."""
-    out = sw_score_auto(jnp.asarray(q), jnp.asarray(t), params, no_n=no_n)
+    from breakmer_tpu.device import commit_local
+
+    qd, td = commit_local(jnp.asarray(q), jnp.asarray(t))
+    out = sw_score_auto(qd, td, params, no_n=no_n)
     return tuple(jax.device_get(out))

@@ -99,9 +99,27 @@ def run_kmer_batches(
         _MESHES[mesh_id] = mesh
     step = _compiled_kmer_step(k, min_count, mesh_id)
     batches = list(batches)
-    pending = [
-        step(b.reads, b.lengths, b.refs, b.ref_lengths) for b in batches
-    ]
+    if mesh is not None:
+        # explicit placement: under multi-process JAX, raw numpy args to a
+        # jit are rejected; a NamedSharding over this process's (local)
+        # mesh is fully addressable and matches the step's in_shardings
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P(AXIS_REGIONS))
+
+        def place(b):
+            return tuple(
+                jax.device_put(x, spec)
+                for x in (b.reads, b.lengths, b.refs, b.ref_lengths)
+            )
+    else:
+        from breakmer_tpu.device import commit_local
+
+        def place(b):
+            out = commit_local(b.reads, b.lengths, b.refs, b.ref_lengths)
+            return out
+
+    pending = [step(*place(b)) for b in batches]
     fetched = jax.device_get(pending)
     out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for b, (values, counts) in zip(batches, fetched):

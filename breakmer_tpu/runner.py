@@ -60,6 +60,16 @@ class Runner:
         cfg = self.cfg
         cfg.validate()
         setup_logger(cfg.analysis_dir, cfg.log_level)
+        self.process_index, self.process_count = 0, 1
+        if cfg.multihost:
+            # MUST precede any backend-initialising jax call (including
+            # device.configure below): jax.distributed.initialize refuses
+            # to run once the XLA backend exists
+            from breakmer_tpu.parallel.multihost import init_distributed
+
+            self.process_index, self.process_count = init_distributed(
+                cfg.coordinator_address, cfg.num_processes, cfg.process_id
+            )
         from breakmer_tpu.device import configure
 
         platform = configure(cfg.device)
@@ -69,15 +79,8 @@ class Runner:
             gene_list = [g.strip() for g in Path(cfg.gene_list).read_text().split()]
         self.targets = read_targets_bed(cfg.targets_bed_file, gene_list)
         self.all_target_names = list(self.targets)
-        self.process_index, self.process_count = 0, 1
         if cfg.multihost:
-            from breakmer_tpu.parallel.multihost import (
-                init_distributed, partition_targets,
-            )
-
-            self.process_index, self.process_count = init_distributed(
-                cfg.coordinator_address, cfg.num_processes, cfg.process_id
-            )
+            from breakmer_tpu.parallel.multihost import partition_targets
             mine = set(partition_targets(
                 self.all_target_names, self.process_index, self.process_count
             ))
@@ -122,10 +125,16 @@ class Runner:
         if self.genome is not None and cfg.shard_genome_index:
             import jax
 
-            if len(jax.devices()) > 1:
+            if len(jax.local_devices()) > 1:
+                # local devices only: each process owns a full copy of the
+                # index sharded over its own chips (regions are already
+                # process-partitioned; no cross-process lookup traffic)
                 from breakmer_tpu.parallel.index_shard import ShardedGenomeIndex
 
-                self.genome = ShardedGenomeIndex(self.genome)
+                mesh = jax.sharding.Mesh(
+                    np.array(jax.local_devices()), ("shards",)
+                )
+                self.genome = ShardedGenomeIndex(self.genome, mesh)
                 log.info(
                     "genome seed table sharded over %d devices",
                     self.genome.mesh.devices.size,
@@ -486,10 +495,13 @@ class Runner:
         import jax
 
         mesh = None
-        if len(jax.devices()) > 1:
+        # LOCAL devices only: regions are already partitioned across
+        # processes at the host level (multihost model), so each process
+        # shards its own batches over its own chips
+        if len(jax.local_devices()) > 1:
             from breakmer_tpu.parallel.mesh import make_mesh_2d
 
-            mesh = make_mesh_2d()
+            mesh = make_mesh_2d(devices=jax.local_devices())
             log.info(
                 "kmer batch sharded over %d devices (%s)",
                 mesh.devices.size, "x".join(map(str, mesh.devices.shape)),
