@@ -101,7 +101,7 @@ def main() -> None:
         # recorded and later runs report the ratio (same scheme as
         # bench.py; the reference publishes no numbers to compare to)
         vs = 1.0
-        if n_genes == 20 and read_step == 6:
+        if n_genes == 20 and read_step == 6 and platform == "tpu":
             import json as _json
             if PANEL_BASELINE.exists():
                 base = _json.loads(PANEL_BASELINE.read_text())

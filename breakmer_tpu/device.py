@@ -37,6 +37,15 @@ def _enable_compile_cache() -> None:
         log.warning("could not enable persistent compilation cache")
 
 
+def set_platform(device: str = "auto") -> None:
+    """Set jax_platforms WITHOUT initializing the XLA backend — safe to
+    call before jax.distributed.initialize (which must itself precede any
+    backend-initialising call). configure() probes devices afterwards."""
+    _enable_compile_cache()
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def configure(device: str = "auto") -> str:
     """Select the backend; returns the platform actually in use."""
     global _configured

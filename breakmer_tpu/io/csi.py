@@ -69,19 +69,18 @@ class CsiIndex:
         return len(self.bins)
 
     def _min_offset(self, bmap, beg: int) -> int:
-        """loffset of the first present bin on the root path of the leaf
-        containing ``beg`` — prunes chunks that end before any record
-        overlapping the query could start. 0 (no pruning) when absent;
-        pruning is an optimization only, the reader still position-filters."""
+        """loffset of the exact LEAF bin containing ``beg`` (0 — no
+        pruning — when absent). Sound because build_csi sets every leaf's
+        loffset to the min voffset among records OVERLAPPING that window,
+        and in a coordinate-sorted BAM any record overlapping a query
+        starting in that window has voffset >= that minimum. Walking up
+        to ancestor bins is NOT sound with assignment-based ancestor
+        loffsets: an ancestor's first assigned record can sit far right
+        of the query and prune a left-of-it overlapping record (found by
+        review repro)."""
         leaf_base = ((1 << (3 * self.depth)) - 1) // 7
         b = leaf_base + (beg >> self.min_shift)
-        while True:
-            if b in bmap:
-                return bmap[b][0]
-            if b == 0:
-                return 0
-            b = (b - 1) >> 3
-        return 0
+        return bmap[b][0] if b in bmap else 0
 
     def query(self, ref_id: int, beg: int, end: int) -> List[Tuple[int, int]]:
         """Merged, sorted virtual-offset chunks possibly containing records

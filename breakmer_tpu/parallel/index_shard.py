@@ -77,13 +77,12 @@ class ShardedGenomeIndex:
     the far larger seed table is the sharded part, SURVEY.md §2b).
     """
 
-    def __init__(self, genome: GenomeIndex, mesh=None, h_pad: int = 128):
+    def __init__(self, genome: GenomeIndex, mesh=None, h_pad: Optional[int] = None):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self._genome = genome
         self.k = genome.k
-        self.h_pad = h_pad
         self.mesh = mesh if mesh is not None else make_shard_mesh()
         self._chrom_names: List[str] = list(genome.chroms)
         parts_c, parts_p, parts_id = [], [], []
@@ -100,6 +99,17 @@ class ShardedGenomeIndex:
         # (q_pos, t_pos) re-sort
         order = np.argsort(codes, kind="stable")
         codes, pos, cid = codes[order], pos[order], cid[order]
+        if h_pad is None:
+            # exact per-shard capacity: the longest global code run (a
+            # seed capped at 64/chrom can still hit 64*n_chroms in ONE
+            # shard after the range sharding — a fixed 128 overflowed on
+            # >=3-chromosome genomes, found by review repro)
+            if len(codes):
+                starts = np.r_[0, np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+                h_pad = int(np.diff(np.r_[starts, len(codes)]).max())
+            else:
+                h_pad = 1
+        self.h_pad = max(1, h_pad)
         D = self.mesh.devices.size
         n_pad = max(D, ((len(codes) + D - 1) // D) * D)
         padn = n_pad - len(codes)
@@ -162,16 +172,25 @@ class ShardedGenomeIndex:
         max_windows = kw.get("max_windows", 8)
         L = len(query_codes)
         per_chrom_hits: Dict[str, list] = {c: [] for c in self._chrom_names}
-        for strand, qc in (("+", query_codes), ("-", revcomp_codes(query_codes))):
-            q_codes, q_pos = _seed_codes(np.asarray(qc, np.int8), self.k)
-            qi, cid, tp = self.lookup(q_codes)
-            qp = q_pos[qi]
+        # ONE device round-trip for both strands (each lookup pays a
+        # ~25-40 ms relay fetch): concatenate the strand query vectors
+        # and split the hits by query index afterwards
+        fw_codes, fw_pos = _seed_codes(np.asarray(query_codes, np.int8), self.k)
+        rc_codes, rc_pos = _seed_codes(revcomp_codes(query_codes), self.k)
+        qi, cid, tp = self.lookup(np.concatenate([fw_codes, rc_codes]))
+        n_fw = len(fw_codes)
+        for strand, sel_s, q_pos, off in (
+            ("+", qi < n_fw, fw_pos, 0),
+            ("-", qi >= n_fw, rc_pos, n_fw),
+        ):
+            qp_all = q_pos[qi[sel_s] - off] if sel_s.any() else qi[:0]
+            cid_s, tp_s = cid[sel_s], tp[sel_s]
             for c_i, chrom in enumerate(self._chrom_names):
-                sel = cid == c_i
+                sel = cid_s == c_i
                 if not sel.any():
-                    per_chrom_hits[chrom].append((strand, qp[:0], tp[:0]))
+                    per_chrom_hits[chrom].append((strand, tp_s[:0], tp_s[:0]))
                     continue
-                cqp, ctp = qp[sel], tp[sel]
+                cqp, ctp = qp_all[sel], tp_s[sel]
                 # host lookup order: q_pos asc, then position asc in run
                 o = np.lexsort((ctp, cqp))
                 per_chrom_hits[chrom].append((strand, cqp[o], ctp[o]))

@@ -62,11 +62,16 @@ class Runner:
         setup_logger(cfg.analysis_dir, cfg.log_level)
         self.process_index, self.process_count = 0, 1
         if cfg.multihost:
-            # MUST precede any backend-initialising jax call (including
-            # device.configure below): jax.distributed.initialize refuses
-            # to run once the XLA backend exists
+            # Ordering contract: (1) pick the platform via config only —
+            # no backend init; (2) jax.distributed.initialize, which
+            # refuses to run once the XLA backend exists; (3) configure()
+            # below probes devices, which initializes the now-correct
+            # backend. Probing (or init_distributed) first would lock the
+            # sitecustomize default platform regardless of cfg.device.
+            from breakmer_tpu.device import set_platform
             from breakmer_tpu.parallel.multihost import init_distributed
 
+            set_platform(cfg.device)
             self.process_index, self.process_count = init_distributed(
                 cfg.coordinator_address, cfg.num_processes, cfg.process_id
             )
@@ -195,9 +200,13 @@ class Runner:
         ap = self._ledger_append_path
         if ap.exists():
             for line in ap.read_text().splitlines():
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     rec = json.loads(line)
-                    ledger[rec["name"]] = rec["entry"]
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a crash mid-append
+                ledger[rec["name"]] = rec["entry"]
         return ledger
 
     def _append_ledger(self, name: str, entry: dict) -> None:

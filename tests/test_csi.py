@@ -120,3 +120,15 @@ def test_csi_handles_beyond_bai_range(tmp_path):
     assert back.query(0, 1 << 32, (1 << 32) + 2000) == chunks
     # and an uncovered window stays empty
     assert back.query(0, 0, 1000) == []
+
+
+def test_csi_no_overprune_sparse_leading_record():
+    # review repro: a record in an EMPTY leaf region followed by a later
+    # record must not be pruned by an ancestor bin's loffset
+    entries = [
+        (0, 120_000, 121_000, 100, 200),
+        (0, 262_000, 263_000, 300, 400),
+    ]
+    idx = build_csi(1, entries)
+    chunks = idx.query(0, 100_000, 150_000)
+    assert any(cb <= 100 < ce for cb, ce in chunks), chunks

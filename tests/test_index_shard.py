@@ -89,3 +89,19 @@ def test_sharded_empty_query(genome_pair):
     qi, cid, tp = si.lookup(np.empty(0, dtype=np.int64))
     assert len(qi) == len(cid) == len(tp) == 0
     assert si.candidates(encode_seq("ACGT" * 3)) == []
+
+
+def test_sharded_hpad_autosizes_for_multichrom_repeats():
+    # review repro: a seed at the per-chrom cap on >=3 chromosomes lands
+    # as one contiguous run after the global code sort; auto h_pad must
+    # hold it (a fixed 128 overflowed)
+    probe = "ACGTACGTACG"
+    genome = {
+        f"chr{i}": (probe + rand_seq(40 + i, 9)) * 70 for i in range(1, 4)
+    }
+    gi = GenomeIndex(genome, k=11)
+    si = ShardedGenomeIndex(gi, make_shard_mesh())
+    q = encode_seq(probe + "TTTTGGGGCCCCAAAA")
+    want = [_win_key(w) for w in gi.candidates(q)]
+    got = [_win_key(w) for w in si.candidates(q)]
+    assert got == want
