@@ -15,6 +15,8 @@ Must be called before the first JAX computation of the process.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import jax
 
 from breakmer_tpu.utils.logging import get_logger
@@ -23,7 +25,9 @@ log = get_logger("device")
 
 _configured: str | None = None
 
-CACHE_DIR = "/tmp/breakmer_tpu_jax_cache"
+# repo-local so it survives sandbox /tmp cleanup between sessions —
+# first TPU compiles cost 20-70 s each through the tunnel (gitignored)
+CACHE_DIR = str(Path(__file__).resolve().parent.parent / ".jax_cache")
 
 
 def _enable_compile_cache() -> None:

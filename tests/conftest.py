@@ -10,6 +10,7 @@ is initialized) or every test compile silently goes to the TPU tunnel.
 """
 
 import os
+from pathlib import Path
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,6 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (must come after the env setup above)
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/breakmer_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
