@@ -21,7 +21,10 @@ def _plant(rng, genome, sam, gene, start, end):
     span = end - start
     mid = start + int(rng.integers(200, span - 200))
     if kind == "ins":
-        size = int(rng.integers(12, 35))
+        # >= indel_size (15, the reference's min reportable indel) — a
+        # 24-seed sweep confirmed sub-threshold insertions are correctly
+        # filtered, which is not what this test probes
+        size = int(rng.integers(16, 35))
         ins = "".join(rng.choice(list(BASES), size))
         hap = Haplotype(genome, [
             RefBlock("chr1", start, mid), NovelBlock(ins),
