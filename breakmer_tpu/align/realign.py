@@ -218,8 +218,21 @@ def realign_contigs(
     flow, SURVEY.md §3.3: blat-vs-region, genome fallback, greedy
     disjoint segments via query masking); results are byte-identical.
     """
+    from breakmer_tpu.utils.meter import METER
+
     if min_seg_score is None:
         min_seg_score = params.match * min_seg_len // 2
+    with METER.stage("realign"):
+        return _realign_contigs(
+            contigs, genome, params, max_segments, min_seg_len, min_identity,
+            min_seg_score, full_hit_cov, max_q_gap,
+        )
+
+
+def _realign_contigs(
+    contigs, genome, params, max_segments, min_seg_len, min_identity,
+    min_seg_score, full_hit_cov, max_q_gap,
+) -> List[List[AlignSegment]]:
     works = [
         _Work(np.asarray(codes, dtype=np.int8).copy(), region, [])
         for codes, region in contigs

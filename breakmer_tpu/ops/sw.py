@@ -156,8 +156,16 @@ def sw_score_batch(q, t, params: SWParams = SWParams(), no_n: bool = False):
     """Convenience: accepts numpy arrays, returns numpy (host driver use).
     One device_get for all three outputs — separate np.asarray calls cost
     a TPU-relay round-trip each (~30 ms)."""
-    from breakmer_tpu.device import commit_local
+    import time as _time
 
+    from breakmer_tpu.device import commit_local
+    from breakmer_tpu.utils.meter import METER
+
+    t0 = _time.perf_counter()
     qd, td = commit_local(jnp.asarray(q), jnp.asarray(t))
     out = sw_score_auto(qd, td, params, no_n=no_n)
-    return tuple(jax.device_get(out))
+    res = tuple(jax.device_get(out))
+    # device_get is the only real sync under the TPU relay, so this wall
+    # bracket is honest end-to-end time (dispatch + kernel + fetch)
+    METER.add_sw(q.shape[0] * q.shape[1] * t.shape[1], _time.perf_counter() - t0)
+    return res

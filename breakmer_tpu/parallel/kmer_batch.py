@@ -93,6 +93,13 @@ def run_kmer_batches(
     all outputs. Per-fetch TPU-relay round-trips (~30 ms each) dominated
     the panel's k-mer stage when each batch synced before the next
     dispatched."""
+    from breakmer_tpu.utils.meter import METER
+
+    with METER.stage("kmer_device"):
+        return _run_kmer_batches(batches, k, min_count, mesh)
+
+
+def _run_kmer_batches(batches, k, min_count, mesh):
     mesh_id = None
     if mesh is not None:
         mesh_id = id(mesh)

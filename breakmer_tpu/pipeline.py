@@ -28,6 +28,7 @@ from breakmer_tpu.io.sam import SamRecord
 from breakmer_tpu.ops.kmer import sample_only_kmers
 from breakmer_tpu.ops.sw import SWParams
 from breakmer_tpu.utils.logging import get_logger
+from breakmer_tpu.utils.meter import METER
 from breakmer_tpu.utils.rmask import RepeatMask
 
 log = get_logger("pipeline")
@@ -88,24 +89,25 @@ class TargetPipeline:
         ``extract_result`` injects a prebuilt extraction (the runner's
         columnar native-BAM path)."""
         cfg = self.cfg
-        if extract_result is not None:
-            self.extract_result = extract_result
-        else:
-            chrom, start, end = self.target.span(cfg.region_buffer)
-            self.extract_result = extract_sv_reads(
-                records, (chrom, start, end), cfg
+        with METER.stage("extract_clean"):
+            if extract_result is not None:
+                self.extract_result = extract_result
+            else:
+                chrom, start, end = self.target.span(cfg.region_buffer)
+                self.extract_result = extract_sv_reads(
+                    records, (chrom, start, end), cfg
+                )
+            batch = self.extract_result.batch
+            if len(batch) == 0:
+                return False
+            self.clean_batch = clean_reads(
+                batch,
+                trim_qual=cfg.trim_qual,
+                min_len=cfg.min_read_len,
+                adapter_3p=cfg.adapter_3p,
+                adapter_5p=cfg.adapter_5p,
+                adapter_error_rate=cfg.adapter_error_rate,
             )
-        batch = self.extract_result.batch
-        if len(batch) == 0:
-            return False
-        self.clean_batch = clean_reads(
-            batch,
-            trim_qual=cfg.trim_qual,
-            min_len=cfg.min_read_len,
-            adapter_3p=cfg.adapter_3p,
-            adapter_5p=cfg.adapter_5p,
-            adapter_error_rate=cfg.adapter_error_rate,
-        )
         # reference parity: the pipeline continues only with enough
         # surviving SV reads (target.clean_reads re-checks the count)
         return len(self.clean_batch) >= cfg.min_sv_reads
@@ -124,15 +126,16 @@ class TargetPipeline:
         if not self.extract_and_clean(records, extract_result):
             return False
         normal = self.normal_batch
-        self.kmer_values, self.kmer_counts = sample_only_kmers(
-            self.clean_batch.codes,
-            self.clean_batch.lengths,
-            self.region_ref.codes,
-            cfg.kmer_size,
-            normal_codes=normal.codes if normal is not None and len(normal) else None,
-            normal_lengths=normal.lengths if normal is not None and len(normal) else None,
-            min_count=cfg.min_kmer_count,
-        )
+        with METER.stage("kmer_device"):
+            self.kmer_values, self.kmer_counts = sample_only_kmers(
+                self.clean_batch.codes,
+                self.clean_batch.lengths,
+                self.region_ref.codes,
+                cfg.kmer_size,
+                normal_codes=normal.codes if normal is not None and len(normal) else None,
+                normal_lengths=normal.lengths if normal is not None and len(normal) else None,
+                min_count=cfg.min_kmer_count,
+            )
         return len(self.kmer_values) > 0
 
     # -- phase 2: resolve_sv (reference: target.resolve_sv) ----------------
@@ -170,15 +173,16 @@ class TargetPipeline:
         if self.kmer_values is None or len(self.kmer_values) == 0:
             self.contigs: List[Contig] = []
             return self.contigs
-        self.contigs = assemble(
-            self.kmer_values,
-            self.kmer_counts,
-            self.clean_batch,
-            cfg.kmer_size,
-            min_contig_reads=cfg.min_contig_reads,
-            min_contig_len=cfg.min_contig_len,
-            contig_id_prefix=f"{self.target.name}_contig",
-        )
+        with METER.stage("assemble"):
+            self.contigs = assemble(
+                self.kmer_values,
+                self.kmer_counts,
+                self.clean_batch,
+                cfg.kmer_size,
+                min_contig_reads=cfg.min_contig_reads,
+                min_contig_len=cfg.min_contig_len,
+                contig_id_prefix=f"{self.target.name}_contig",
+            )
         return self.contigs
 
     def _coverage_at(self, chrom: str, pos: int) -> int:
@@ -194,22 +198,23 @@ class TargetPipeline:
         cfg = self.cfg
         result = self._empty_result()
         result.contigs = self.contigs
-        for contig, segs in zip(self.contigs, segs_per_contig):
-            if not segs:
-                continue
-            events = classify_contig(
-                contig,
-                segs,
-                self.target.name,
-                cfg,
-                disc=self.extract_result.disc if self.extract_result else None,
-                coverage_at=self._coverage_at,
+        with METER.stage("classify"):
+            for contig, segs in zip(self.contigs, segs_per_contig):
+                if not segs:
+                    continue
+                events = classify_contig(
+                    contig,
+                    segs,
+                    self.target.name,
+                    cfg,
+                    disc=self.extract_result.disc if self.extract_result else None,
+                    coverage_at=self._coverage_at,
+                )
+                result.all_events.extend(events)
+            result.events = apply_filters(
+                result.all_events, cfg, rmask=self.rmask, target=self.target,
+                user_filter=self.user_filter,
             )
-            result.all_events.extend(events)
-        result.events = apply_filters(
-            result.all_events, cfg, rmask=self.rmask, target=self.target,
-            user_filter=self.user_filter,
-        )
         return result
 
     def resolve_sv(self) -> RegionResult:

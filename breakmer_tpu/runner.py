@@ -34,6 +34,7 @@ from breakmer_tpu.io.bam import read_alignments
 from breakmer_tpu.pipeline import RegionResult, TargetPipeline
 from breakmer_tpu.report import event_row, write_svs_rows
 from breakmer_tpu.utils.logging import get_logger, setup_logger
+from breakmer_tpu.utils.meter import METER
 from breakmer_tpu.utils.rmask import RepeatMask
 
 log = get_logger("runner")
@@ -242,8 +243,9 @@ class Runner:
             from breakmer_tpu.io.bam import BamReader
 
             t0 = time.time()
-            reader = BamReader(cfg.sample_bam_file)
-            cols = native.bam_decode_columns(reader._data, reader._align_off)
+            with METER.stage("bam_decode"):
+                reader = BamReader(cfg.sample_bam_file)
+                cols = native.bam_decode_columns(reader._data, reader._align_off)
             if cols is None:
                 return None
             self._native_cols = (cols, [n for n, _ in reader.refs])
@@ -255,7 +257,8 @@ class Runner:
 
         cols, ref_names = self._native_cols
         chrom, start, end = target.span(cfg.region_buffer)
-        return extract_sv_reads_columnar(cols, ref_names, (chrom, start, end), cfg)
+        with METER.stage("extract_clean"):
+            return extract_sv_reads_columnar(cols, ref_names, (chrom, start, end), cfg)
 
     def _region_records(self, chrom: int, start: int, end: int):
         """Records overlapping a region. With preload_alignments (default)
@@ -387,6 +390,7 @@ class Runner:
     # -- main loop (reference: runner.run) ---------------------------------
     def run(self, resume: bool = False) -> List[SVEvent]:
         cfg = self.cfg
+        METER.reset()  # per-run stage/GCUPS counters (-> metrics.json)
         if not self.targets:
             self.setup()
         if cfg.batch_regions and not cfg.normal_bam_file:
@@ -654,6 +658,10 @@ class Runner:
             "targets": len(order),
             "calls": len(all_rows),
             "elapsed_s": round(time.time() - t_start, 3),
+            # per-stage wall seconds + run-level SW GCUPS (SURVEY.md §5:
+            # the reference logs only elapsed-time prose; GCUPS is the
+            # BASELINE.json required kernel metric)
+            **METER.snapshot(),
             "errors": {
                 n: ledger[n]["error"]
                 for n in order

@@ -256,6 +256,21 @@ def test_e2e_coverage_recorded(run_events):
         assert any(c > 0 for c in ev.breakpoint_coverages), ev.genes
 
 
+def test_e2e_stage_metrics(run_events):
+    """metrics.json carries per-stage wall timers and the run-level SW
+    cell/GCUPS meter (SURVEY.md §5 tracing row; BASELINE.json's required
+    GCUPS metric surfaced per run, not just in bench.py)."""
+    _, cfg, _, _, _ = run_events
+    metrics = json.loads((Path(cfg.analysis_dir) / "metrics.json").read_text())
+    stage_s = metrics["stage_s"]
+    for stage in ("extract_clean", "kmer_device", "assemble", "realign", "classify"):
+        assert stage in stage_s and stage_s[stage] >= 0.0, stage
+    sw = metrics["sw"]
+    assert sw["launches"] >= 1
+    assert sw["cells"] > 0
+    assert sw["gcups_wall"] > 0
+
+
 def test_e2e_ledger_resume(panel):
     work, cfg, _ = panel
     ledger_path = Path(cfg.analysis_dir) / "ledger.json"
