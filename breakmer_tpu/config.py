@@ -31,6 +31,10 @@ class Config:
     gene_list: Optional[str] = None           # restrict to these targets
     filter_list: Optional[str] = None         # BED of intervals whose calls
                                               # are suppressed (user filter)
+    cutadapt_config_file: Optional[str] = None  # reference-style nested
+                                              # cutadapt args file; parsed
+                                              # into the native trim knobs
+                                              # (explicit keys win)
 
     # --- k-mer engine (reference: utils.py run_jellyfish + target.compare_kmers)
     kmer_size: int = 15            # reference default k=15
@@ -121,7 +125,7 @@ class Config:
         for key in (
             "targets_bed_file", "reference_fasta", "sample_bam_file",
             "normal_bam_file", "repeat_mask_file", "other_regions_file",
-            "gene_list", "filter_list",
+            "gene_list", "filter_list", "cutadapt_config_file",
         ):
             val = getattr(self, key)
             if val and not Path(val).exists():
@@ -159,6 +163,15 @@ class Config:
 
     @classmethod
     def from_dict(cls, data: dict) -> "Config":
+        if data.get("cutadapt_config_file"):
+            # reference parity (breakmer.py params: cutadapt_config_file is
+            # a nested config of raw cutadapt args): map the supported
+            # flags onto the native trim knobs; keys set explicitly in the
+            # main config override the nested file
+            mapped = _parse_cutadapt_args(
+                Path(data["cutadapt_config_file"]).read_text()
+            )
+            data = {**{k: v for k, v in mapped.items() if k not in data}, **data}
         fields = {f.name: f for f in dataclasses.fields(cls)}
         kwargs = {}
         for key, val in data.items():
@@ -177,3 +190,36 @@ class Config:
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, default=list)
+
+
+# cutadapt flag -> (Config knob, parser); the subset the reference's
+# trimming stage exercises (SURVEY.md §2 #8: adapter/quality trim +
+# min-length recheck). Unknown flags are ignored like unknown config keys.
+_CUTADAPT_FLAGS = {
+    "-a": ("adapter_3p", str), "--adapter": ("adapter_3p", str),
+    "-g": ("adapter_5p", str), "--front": ("adapter_5p", str),
+    "-q": ("trim_qual", int), "--quality-cutoff": ("trim_qual", int),
+    "-m": ("min_read_len", int), "--minimum-length": ("min_read_len", int),
+    "-e": ("adapter_error_rate", float), "--error-rate": ("adapter_error_rate", float),
+}
+
+
+def _parse_cutadapt_args(text: str) -> dict:
+    """Parse a cutadapt-style args file ('-a SEQ -q 20 ...', '#' comments,
+    'flag=value' also accepted) into Config knob values."""
+    tokens: list = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if line:
+            tokens.extend(line.replace("=", " ").split())
+    out: dict = {}
+    i = 0
+    while i < len(tokens):
+        spec = _CUTADAPT_FLAGS.get(tokens[i])
+        if spec and i + 1 < len(tokens):
+            knob, conv = spec
+            out[knob] = conv(tokens[i + 1])
+            i += 2
+        else:
+            i += 1
+    return out

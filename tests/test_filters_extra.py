@@ -61,6 +61,22 @@ def test_config_validate_kmer_sizes(tmp_path):
         cfg.validate()
 
 
+def test_config_cutadapt_config_file(tmp_path):
+    """Reference-style nested cutadapt args file fills the trim knobs;
+    explicit main-config keys win (SURVEY.md §2 #2 cutadapt_config_file)."""
+    ca = tmp_path / "cutadapt.cfg"
+    ca.write_text("# panel adapters\n-a AGATCGGAAGAGC -q 20\n"
+                  "--minimum-length 30\n-e 0.12\n")
+    cfg = Config.from_dict({
+        "cutadapt_config_file": str(ca),
+        "trim_qual": 5,  # explicit key overrides the nested file
+    })
+    assert cfg.adapter_3p == "AGATCGGAAGAGC"
+    assert cfg.trim_qual == 5
+    assert cfg.min_read_len == 30
+    assert cfg.adapter_error_rate == 0.12
+
+
 def test_two_indels_one_contig():
     """Two well-separated gaps in one alignment -> two indel events."""
     ref = _rand(71, 900)

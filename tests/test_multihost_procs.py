@@ -47,23 +47,29 @@ def test_two_process_multihost_run(tmp_path):
     (tmp_path / "cfg.json").write_text(json.dumps(cfg.__dict__))
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(WORKER)
-    port = _free_port()
     import os
 
     env = dict(os.environ, PYTHONPATH="/root/repo:/root/.axon_site",
                JAX_PLATFORMS="")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker_py), str(tmp_path), str(p), str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for p in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
+    # _free_port closes its probe socket before the coordinator rebinds,
+    # so a concurrent process can steal the port between the two binds —
+    # retry the whole two-process spawn once on a fresh port
+    for attempt in (0, 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker_py), str(tmp_path), str(p), str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for p in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     assert "WORKER_OK 0 3" in outs[0]
