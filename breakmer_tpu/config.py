@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from pathlib import Path
 from typing import Optional
 
@@ -168,9 +169,14 @@ class Config:
             # a nested config of raw cutadapt args): map the supported
             # flags onto the native trim knobs; keys set explicitly in the
             # main config override the nested file
-            mapped = _parse_cutadapt_args(
-                Path(data["cutadapt_config_file"]).read_text()
-            )
+            ca_path = Path(data["cutadapt_config_file"])
+            if not ca_path.exists():
+                # same friendly error validate() raises, but reachable on
+                # this path (parsing happens before validate runs)
+                raise FileNotFoundError(
+                    f"config cutadapt_config_file: no such file: {ca_path}"
+                )
+            mapped = _parse_cutadapt_args(ca_path.read_text())
             data = {**{k: v for k, v in mapped.items() if k not in data}, **data}
         fields = {f.name: f for f in dataclasses.fields(cls)}
         kwargs = {}
@@ -192,33 +198,61 @@ class Config:
         return json.dumps(dataclasses.asdict(self), indent=2, default=list)
 
 
+def _qual_cutoff(val: str) -> int:
+    """cutadapt accepts '-q 20' and '-q 5,20' (5' cutoff, 3' cutoff); the
+    native trimmer has one quality knob, so keep the 3' (last) value."""
+    return int(val.split(",")[-1])
+
+
 # cutadapt flag -> (Config knob, parser); the subset the reference's
 # trimming stage exercises (SURVEY.md §2 #8: adapter/quality trim +
 # min-length recheck). Unknown flags are ignored like unknown config keys.
 _CUTADAPT_FLAGS = {
     "-a": ("adapter_3p", str), "--adapter": ("adapter_3p", str),
     "-g": ("adapter_5p", str), "--front": ("adapter_5p", str),
-    "-q": ("trim_qual", int), "--quality-cutoff": ("trim_qual", int),
+    "-q": ("trim_qual", _qual_cutoff), "--quality-cutoff": ("trim_qual", _qual_cutoff),
     "-m": ("min_read_len", int), "--minimum-length": ("min_read_len", int),
     "-e": ("adapter_error_rate", float), "--error-rate": ("adapter_error_rate", float),
 }
 
+_CUTADAPT_LONG_EQ = re.compile(r"^(--[\w-]+)=(.*)$")
+
 
 def _parse_cutadapt_args(text: str) -> dict:
     """Parse a cutadapt-style args file ('-a SEQ -q 20 ...', '#' comments,
-    'flag=value' also accepted) into Config knob values."""
+    '--flag=value' also accepted) into Config knob values. '=' is only a
+    separator after a '--flag' token — adapter values containing '='
+    (linked/parameterized syntax like 'ADAPTER;e=0.1') pass through
+    intact. A repeated adapter flag is rejected loudly: cutadapt would
+    search all of them, the native trimmer holds one per side."""
     tokens: list = []
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
-        if line:
-            tokens.extend(line.replace("=", " ").split())
+        for tok in line.split():
+            m = _CUTADAPT_LONG_EQ.match(tok)
+            if m:
+                tokens.extend(m.groups())
+            else:
+                tokens.append(tok)
     out: dict = {}
     i = 0
     while i < len(tokens):
         spec = _CUTADAPT_FLAGS.get(tokens[i])
         if spec and i + 1 < len(tokens):
             knob, conv = spec
-            out[knob] = conv(tokens[i + 1])
+            if knob in ("adapter_3p", "adapter_5p") and knob in out:
+                raise ValueError(
+                    f"cutadapt_config_file: repeated adapter flag {tokens[i]} — "
+                    "the native trimmer supports one adapter per side "
+                    "(one -a/--adapter and one -g/--front)"
+                )
+            try:
+                out[knob] = conv(tokens[i + 1])
+            except ValueError as e:
+                raise ValueError(
+                    f"cutadapt_config_file: bad value for {tokens[i]}: "
+                    f"{tokens[i + 1]!r}"
+                ) from e
             i += 2
         else:
             i += 1

@@ -5,10 +5,11 @@ ingest (pysam fetch in target.extract_bam_reads) is replaced by this
 module + io.sam. Scope: whole-file streaming decode of BGZF (multi-member
 gzip) and the BAM record layout, yielding the same SamRecord objects the
 extractor consumes; a minimal writer for fixtures and intermediates.
-Random access via BAI is not implemented — targeted-panel BAMs are scanned
-linearly, with records grouped per region in one pass (see
-read_bam_regions). A C++ BGZF inflate path can slot in underneath without
-changing this API (native/).
+Random access IS available: io.bai / io.csi parse the index formats and
+BamIndexedReader (below) seeks straight to a region's chunks;
+whole-file streaming (read_bam_regions) remains the default for small
+panels where one pass beats per-region seeks. A C++ BGZF inflate path
+slots in underneath without changing this API (native/).
 
 BAM layout reference: SAM spec v1.6 §4 (magic, reference dictionary, then
 per-alignment: block_size, refID, pos, l_read_name, mapq, bin, n_cigar_op,

@@ -13,8 +13,9 @@ TPU-first design: no dicts, no files. A k-mer is a 2k-bit integer code
 [R, L] base-code tensor; counting and subtraction are sort + segmented
 run-length + binary-search ops over flat code vectors — all static-shape,
 jit-compatible, with invalid slots carried as a sentinel code that sorts to
-the end. A Pallas sorted-hash membership kernel (kmer_pallas.py) replaces
-the searchsorted for the hot path.
+the end. The engine is deliberately XLA-level (no Pallas twin): the hot
+ops are sorts and binary searches, and Mosaic on this target has no
+vector gather/scatter to beat XLA's sort lowering (ARCHITECTURE.md).
 """
 
 from __future__ import annotations

@@ -146,9 +146,12 @@ def sw_score_auto(
     4s are fine) — unlocks the kernel's cheap substitution path; results
     are unchanged (see ops.sw_pallas docstring for the proof)."""
     if jax.default_backend() == "tpu":
-        from breakmer_tpu.ops.sw_pallas import sw_score_pallas
+        from breakmer_tpu.ops.sw_pallas import pallas_shape_ok, sw_score_pallas
 
-        return sw_score_pallas(q, t, params, no_n=no_n)
+        # beyond-budget shapes (huge contigs past the padded tiers) route
+        # to the scan oracle instead of blowing VMEM — same results
+        if pallas_shape_ok(q.shape[1], t.shape[1]):
+            return sw_score_pallas(q, t, params, no_n=no_n)
     return sw_score(q, t, params)
 
 

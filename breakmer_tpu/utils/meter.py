@@ -62,4 +62,10 @@ class Meter:
         return out
 
 
+# Process-global, intentionally unsynchronized. INVARIANT: one active
+# Runner per process — Runner.run() resets it, and the device stages that
+# feed it (sw_score_batch) run on the runner's thread. Library callers
+# wanting isolated counters should instantiate their own Meter; host
+# worker THREADS inside one runner are fine (adds are GIL-atomic enough
+# for coarse wall metrics, and stage() is only used on the main thread).
 METER = Meter()

@@ -94,3 +94,34 @@ def test_two_indels_one_contig():
     assert by_kind["I"].size == len(ins1)
     assert by_kind["D"].size == 40
     assert abs(by_kind["D"].breakpoints[0][1] - 420) <= 2
+
+
+def test_cutadapt_two_value_quality_and_eq_values(tmp_path):
+    """ADVICE r1: '-q 5,20' keeps the 3' cutoff; '=' inside an adapter
+    value (linked/parameterized syntax) passes through; '--flag=value'
+    still splits."""
+    ca = tmp_path / "cutadapt.cfg"
+    ca.write_text("-a ADAPTER;e=0.1 -q 5,20\n--minimum-length=30\n")
+    cfg = Config.from_dict({"cutadapt_config_file": str(ca)})
+    assert cfg.adapter_3p == "ADAPTER;e=0.1"
+    assert cfg.trim_qual == 20
+    assert cfg.min_read_len == 30
+
+
+def test_cutadapt_repeated_adapter_rejected(tmp_path):
+    ca = tmp_path / "cutadapt.cfg"
+    ca.write_text("-a AAAA -a CCCC\n")
+    with pytest.raises(ValueError, match="repeated adapter"):
+        Config.from_dict({"cutadapt_config_file": str(ca)})
+
+
+def test_cutadapt_bad_value_names_flag(tmp_path):
+    ca = tmp_path / "cutadapt.cfg"
+    ca.write_text("-m notanint\n")
+    with pytest.raises(ValueError, match="-m"):
+        Config.from_dict({"cutadapt_config_file": str(ca)})
+
+
+def test_cutadapt_missing_file_friendly_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="cutadapt_config_file"):
+        Config.from_dict({"cutadapt_config_file": str(tmp_path / "nope.cfg")})

@@ -65,9 +65,25 @@ def test_two_process_multihost_run(tmp_path):
             for p in (0, 1)
         ]
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=240)
-            outs.append(out)
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=240)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            # kill BOTH workers (a hung pair would otherwise leak two
+            # processes + the coordinator port for the rest of the session)
+            outs = []
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                try:
+                    out, _ = p.communicate(timeout=10)
+                except Exception:
+                    out = ""
+                outs.append((out or "") + "\n[TIMEOUT: worker killed]")
+            if attempt == 1:
+                pytest.fail("multihost workers hung twice: " + outs[0][-2000:])
+            continue
         if all(p.returncode == 0 for p in procs) or attempt == 1:
             break
     for p, out in zip(procs, outs):
