@@ -86,11 +86,12 @@ class ShardedGenomeIndex:
         self.mesh = mesh if mesh is not None else make_shard_mesh()
         self._chrom_names: List[str] = list(genome.chroms)
         parts_c, parts_p, parts_id = [], [], []
+        per_chrom = genome.per_chrom_seed_arrays()
         for cid, chrom in enumerate(self._chrom_names):
-            idx = genome._index[chrom]
-            parts_c.append(idx._codes.astype(np.int64))
-            parts_p.append(idx._pos.astype(np.int64))
-            parts_id.append(np.full(len(idx._codes), cid, dtype=np.int64))
+            ccodes, cpos = per_chrom[chrom]
+            parts_c.append(ccodes.astype(np.int64))
+            parts_p.append(cpos.astype(np.int64))
+            parts_id.append(np.full(len(ccodes), cid, dtype=np.int64))
         codes = np.concatenate(parts_c) if parts_c else np.empty(0, np.int64)
         pos = np.concatenate(parts_p) if parts_p else np.empty(0, np.int64)
         cid = np.concatenate(parts_id) if parts_id else np.empty(0, np.int64)

@@ -115,15 +115,20 @@ class Runner:
                 stem = Path(cfg.reference_fasta).stem
                 cache = (
                     Path(cfg.reference_data_dir)
-                    / f"{stem}_genome_index_k{cfg.seed_kmer_size}.npz"
+                    / f"{stem}_genome_index_v2_k{cfg.seed_kmer_size}.npz"
                 )
             if cache is not None and cache.exists():
                 self.genome = GenomeIndex.load(cache)
                 log.info("genome index loaded from %s in %.1fs", cache,
                          time.time() - t0)
             else:
+                # generator, not to_dict(): only one chromosome's unpacked
+                # sequence is alive at a time during the build (the index
+                # keeps everything 2-bit packed; genome-scale RAM budget)
                 self.genome = GenomeIndex(
-                    self.fasta.to_dict(), cfg.seed_kmer_size
+                    ((n, self.fasta.fetch_codes(n, 0, self.fasta.length(n)))
+                     for n in self.fasta.names),
+                    cfg.seed_kmer_size,
                 )
                 if cache is not None:
                     self.genome.save(cache)

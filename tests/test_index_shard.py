@@ -53,13 +53,11 @@ def test_sharded_lookup_spans_shard_boundaries(genome_pair):
     genome, gi, si = genome_pair
     # plant the same 11-mer many times across chroms
     probe = "ACGTACGTACG"
+    from breakmer_tpu.ops.kmer import str_to_kmer
     hits_expected = []
     for chrom in gi.chroms:
-        idx = gi._index[chrom]
-        from breakmer_tpu.ops.kmer import str_to_kmer
-        pos = idx.lookup(str_to_kmer(probe))
+        pos = gi.lookup_chrom(chrom, str_to_kmer(probe))
         hits_expected.extend((chrom, int(p)) for p in pos)
-    from breakmer_tpu.ops.kmer import str_to_kmer
     qi, cid, tp = si.lookup(np.array([str_to_kmer(probe)], dtype=np.int64))
     got = sorted((si.chroms[int(c)], int(p)) for c, p in zip(cid, tp))
     assert got == sorted(hits_expected)
@@ -69,15 +67,7 @@ def test_sharded_overflow_raises():
     # 2000 copies of one k-mer in one chromosome with uncapped seeds:
     # a single shard holds > h_pad hits -> explicit overflow, not silence
     genome = {"chrR": "ACGTACGTACG" * 400}
-    gi = GenomeIndex(genome, k=11)
-    for idx in gi._index.values():
-        idx.max_hits_per_seed = 0  # defeat the cap for this test
-    # rebuild uncapped: reconstruct the SeedIndex without the cap
-    from breakmer_tpu.align.index import SeedIndex
-    gi._index = {
-        c: SeedIndex(codes, 11, max_hits_per_seed=0)
-        for c, codes in gi._codes.items()
-    }
+    gi = GenomeIndex(genome, k=11, max_hits_per_seed=0)  # uncapped build
     si = ShardedGenomeIndex(gi, make_shard_mesh(), h_pad=64)
     from breakmer_tpu.ops.kmer import str_to_kmer
     with pytest.raises(OverflowError):
