@@ -98,88 +98,149 @@ class Alignment:
         return "".join(f"{ln}{op}" for op, ln in self.ops)
 
 
+def _match_anchors(
+    aln: Alignment, q: np.ndarray, t: np.ndarray, anchor_len: int
+) -> List[Tuple[int, int]]:
+    """(q_start, q_end) of exact-match runs >= anchor_len along the path,
+    ascending. A random-DNA 'LCS threading' has expected longest run
+    ~log4(span) (< 8 for any realistic span); a real locus at the 0.90
+    identity floor has SNPs every ~10 bp, so genuine segments keep
+    anchors throughout."""
+    out: List[Tuple[int, int]] = []
+    qpos, tpos = aln.q_start, aln.t_start
+    for op, ln in aln.ops:
+        if op == "M":
+            eq = np.asarray(q[qpos : qpos + ln]) == np.asarray(t[tpos : tpos + ln])
+            # run-length scan over the equality mask
+            bounds = np.flatnonzero(np.diff(np.r_[0, eq.astype(np.int8), 0]))
+            for a, b in zip(bounds[::2], bounds[1::2]):
+                if b - a >= anchor_len:
+                    out.append((qpos + int(a), qpos + int(b)))
+            qpos += ln
+            tpos += ln
+        elif op == "I":
+            qpos += ln
+        else:
+            tpos += ln
+    return out
+
+
+def _piece_between(
+    aln: Alignment, q: np.ndarray, t: np.ndarray, params: SWParams,
+    qs: int, qe: int,
+) -> Optional[Alignment]:
+    """Slice the path to query range [qs, qe) (boundaries always fall on
+    M positions), trim non-M edges, recount matches/score exactly."""
+    ops: List[Tuple[str, int]] = []
+    qpos, tpos = aln.q_start, aln.t_start
+    q0 = t0 = None
+    for op, ln in aln.ops:
+        if op == "M":
+            lo = max(qpos, qs)
+            hi = min(qpos + ln, qe)
+            if hi > lo:
+                if q0 is None:
+                    q0, t0 = lo, tpos + (lo - qpos)
+                ops.append(("M", hi - lo))
+            qpos += ln
+            tpos += ln
+        elif op == "I":
+            if q0 is not None and qpos >= qs and qpos + ln <= qe:
+                ops.append(("I", ln))
+            qpos += ln
+        else:
+            if q0 is not None and qs < qpos < qe:
+                ops.append(("D", ln))
+            tpos += ln
+    # trim non-M edges (piece must start and end on aligned bases)
+    while ops and ops[0][0] != "M":
+        op, ln = ops.pop(0)
+        if op == "I":
+            q0 += ln
+        else:
+            t0 += ln
+    while ops and ops[-1][0] != "M":
+        ops.pop()
+    if not ops:
+        return None
+    # merge adjacent same-ops produced by slicing
+    merged: List[Tuple[str, int]] = []
+    for op, ln in ops:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + ln)
+        else:
+            merged.append((op, ln))
+    matches = mismatches = 0
+    score = 0
+    qq, tt = q0, t0
+    for op, ln in merged:
+        if op == "M":
+            eq = np.asarray(q[qq : qq + ln]) == np.asarray(t[tt : tt + ln])
+            matches += int(np.sum(eq))
+            mismatches += ln - int(np.sum(eq))
+            qq += ln
+            tt += ln
+        else:
+            score -= params.gap_open + params.gap_extend * ln
+            if op == "I":
+                qq += ln
+            else:
+                tt += ln
+    score += params.match * matches - params.mismatch * mismatches
+    return Alignment(max(score, 0), q0, qq, t0, tt, merged, matches, mismatches)
+
+
 def split_alignment(
     aln: Alignment,
     q: np.ndarray,
     t: np.ndarray,
     params: SWParams,
     max_q_gap: int = 50,
+    anchor_len: int = 8,
 ) -> List[Alignment]:
-    """Split an alignment at query gaps longer than ``max_q_gap``.
+    """Split an alignment at anchor-free query stretches > ``max_q_gap``.
 
     Parity rule (SURVEY.md §7 hard part 1): BLAT does not emit PSL rows
-    with large query inserts — a contig whose middle does not match the
-    window (e.g. an inverted or novel segment) comes back as separate
-    rows. The affine DP, by contrast, will happily absorb a large query
-    gap when the flanks pay for it; splitting here restores the
-    blat-equivalent multi-segment shape so the classifier sees junctions,
-    and the masked-requery loop gets a chance to place the middle
-    elsewhere (inversions). Target gaps are never split — a large target
-    gap IS the deletion signal, whether it surfaces as a gapped alignment
-    or as split segments. ``q``/``t`` are the aligned base-code arrays
-    (needed to recount matches exactly per piece).
+    whose middle has no seed-tile support — a contig whose middle does
+    not match the window (a large novel insert, or an INVERTED segment)
+    comes back as separate rows. The affine DP, by contrast, will bridge
+    such a middle whenever the flanks pay for it — either as one large
+    query gap, or (worse) as a gap-riddled random threading that still
+    nets a positive score at gap_extend=1 and shows high gap-EXCLUDING
+    identity. Both shapes share one signature: no exact-match run of
+    ``anchor_len`` (random DNA's longest run is ~log4(span)) across more
+    than ``max_q_gap`` query bases. So: find match anchors, group them,
+    and cut between groups separated by more query junk than max_q_gap
+    (a pure query gap > max_q_gap is the special case the r1 rule
+    handled). Target-gap-only separations contribute zero query junk and
+    are never split — a large target gap IS the deletion signal.
+    ``q``/``t`` are the aligned base-code arrays (needed to recount
+    matches exactly per piece).
     """
-    if not any(op == "I" and ln > max_q_gap for op, ln in aln.ops):
+    anchors = _match_anchors(aln, q, t, anchor_len)
+    if not anchors:
         return [aln]
-    out: List[Alignment] = []
-    qpos, tpos = aln.q_start, aln.t_start
-    cur_ops: List[Tuple[str, int]] = []
-    cur_q0, cur_t0 = qpos, tpos
-
-    def flush(end_q: int, end_t: int) -> None:
-        nonlocal cur_ops, cur_q0, cur_t0
-        # trim non-M edges
-        ops = list(cur_ops)
-        q0, t0 = cur_q0, cur_t0
-        while ops and ops[0][0] != "M":
-            op, ln = ops.pop(0)
-            if op == "I":
-                q0 += ln
-            else:
-                t0 += ln
-        q1, t1 = end_q, end_t
-        while ops and ops[-1][0] != "M":
-            op, ln = ops.pop()
-            if op == "I":
-                q1 -= ln
-            else:
-                t1 -= ln
-        if ops:
-            matches = mismatches = 0
-            score = 0
-            qq, tt = q0, t0
-            for op, ln in ops:
-                if op == "M":
-                    eq = np.asarray(q[qq : qq + ln]) == np.asarray(t[tt : tt + ln])
-                    matches += int(np.sum(eq))
-                    mismatches += ln - int(np.sum(eq))
-                    qq += ln
-                    tt += ln
-                else:
-                    score -= params.gap_open + params.gap_extend * ln
-                    if op == "I":
-                        qq += ln
-                    else:
-                        tt += ln
-            score += params.match * matches - params.mismatch * mismatches
-            out.append(
-                Alignment(max(score, 0), q0, q1, t0, t1, ops, matches, mismatches)
-            )
-        cur_ops = []
-
-    for op, ln in aln.ops:
-        if op == "I" and ln > max_q_gap:
-            flush(qpos, tpos)
-            qpos += ln
-            cur_q0, cur_t0 = qpos, tpos
+    groups: List[List[Tuple[int, int]]] = [[anchors[0]]]
+    for a in anchors[1:]:
+        if a[0] - groups[-1][-1][1] > max_q_gap:
+            groups.append([a])
         else:
-            cur_ops.append((op, ln))
-            if op in ("M", "I"):
-                qpos += ln
-            if op in ("M", "D"):
-                tpos += ln
-    flush(qpos, tpos)
-    return out
+            groups[-1].append(a)
+    if len(groups) == 1:
+        return [aln]  # nothing to split; keep edges exactly as aligned
+    out: List[Alignment] = []
+    for gi, grp in enumerate(groups):
+        qs, qe = grp[0][0], grp[-1][1]
+        # outer edges keep the original aligned extent (sub-anchor edge
+        # wobble stays in its piece) when the extension is small
+        if gi == 0 and qs - aln.q_start <= max_q_gap:
+            qs = aln.q_start
+        if gi == len(groups) - 1 and aln.q_end - qe <= max_q_gap:
+            qe = aln.q_end
+        piece = _piece_between(aln, q, t, params, qs, qe)
+        if piece is not None:
+            out.append(piece)
+    return out if out else [aln]
 
 
 def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):

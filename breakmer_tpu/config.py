@@ -61,6 +61,11 @@ class Config:
     # --- assembly (reference: sv_assembly.py init_assembly) ---------------
     min_contig_reads: int = 2      # min supporting reads to keep a contig
     min_contig_len: int = 20       # contigs shorter than this are dropped
+    olc_merge: bool = True         # OLC-merge overlapping contigs after
+                                   # assembly (reference: olc.py contig
+                                   # consolidation) — one junction split
+                                   # across two contigs becomes one call
+    olc_min_overlap: int = 20      # min suffix/prefix overlap to fuse
 
     # --- realignment (replaces BLAT; align/ package) ----------------------
     seed_kmer_size: int = 11       # BLAT DNA default tile size is 11

@@ -183,6 +183,15 @@ class TargetPipeline:
                 min_contig_len=cfg.min_contig_len,
                 contig_id_prefix=f"{self.target.name}_contig",
             )
+            if cfg.olc_merge and len(self.contigs) > 1:
+                # reference-parity contig consolidation (olc.py): two
+                # contigs assembled from the two sides of one junction
+                # fuse into one before realignment (SURVEY.md §2 #10)
+                from breakmer_tpu.assemble.olc import merge_contig_objects
+
+                self.contigs = merge_contig_objects(
+                    self.contigs, min_len=cfg.olc_min_overlap
+                )
         return self.contigs
 
     def _coverage_at(self, chrom: str, pos: int) -> int:

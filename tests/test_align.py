@@ -216,3 +216,51 @@ def test_realign_contigs_batched_equals_individual():
                 s.q_start, s.q_end, s.chrom, s.t_start, s.t_end,
                 s.strand, s.score)
             assert b.alignment.ops == s.alignment.ops
+
+
+def test_split_alignment_cuts_anchor_free_junk_bridge():
+    """A gap-riddled random 'bridge' between two real arms (the affine
+    DP's LCS threading of an inverted middle) must split into two
+    pieces, even though no single query gap exceeds max_q_gap — the
+    r2 anchor rule (VERDICT r1 #5 fallout, see olc e2e test)."""
+    import numpy as np
+
+    from breakmer_tpu.align.traceback import split_alignment, traceback_align
+    from breakmer_tpu.ops.sw import SWParams
+
+    rng = np.random.default_rng(12)
+    arm1 = rng.integers(0, 4, 90, dtype=np.int8)
+    arm2 = rng.integers(0, 4, 90, dtype=np.int8)
+    mid_t = rng.integers(0, 4, 140, dtype=np.int8)
+    mid_q = rng.integers(0, 4, 140, dtype=np.int8)  # unrelated -> junk
+    q = np.concatenate([arm1, mid_q, arm2])
+    t = np.concatenate([arm1, mid_t, arm2])
+    params = SWParams()
+    aln = traceback_align(q, t, params)
+    pieces = split_alignment(aln, q, t, params)
+    assert len(pieces) == 2, [p.cigar_string() for p in pieces]
+    assert pieces[0].q_start == 0 and pieces[0].q_end <= 110
+    assert pieces[1].q_start >= 210 and pieces[1].q_end == 320
+    for p in pieces:
+        assert p.matches / (p.matches + p.mismatches) > 0.95
+
+
+def test_split_alignment_keeps_real_deletion_and_divergent_segment():
+    import numpy as np
+
+    from breakmer_tpu.align.traceback import split_alignment, traceback_align
+    from breakmer_tpu.ops.sw import SWParams
+
+    rng = np.random.default_rng(13)
+    t = rng.integers(0, 4, 400, dtype=np.int8)
+    # 120bp deletion: query = t minus the middle -> one piece (target gap)
+    q = np.concatenate([t[:140], t[260:]])
+    params = SWParams()
+    aln = traceback_align(q, t, params)
+    assert len(split_alignment(aln, q, t, params)) == 1
+    # a diverged-but-real segment (SNP every ~12bp, identity ~0.92)
+    q2 = t.copy()
+    for p in range(6, 400, 12):
+        q2[p] = (q2[p] + 1) % 4
+    aln2 = traceback_align(q2, t, params)
+    assert len(split_alignment(aln2, q2, t, params)) == 1

@@ -124,3 +124,35 @@ def test_assemble_two_separate_events():
     seqs = "|".join(c.seq for c in contigs)
     assert ins1 in seqs and ins2 in seqs
     assert len(contigs) >= 2
+
+
+def test_merge_contig_objects_offsets_and_reads():
+    """Read-aware OLC merge: absorbed contig's reads shift by the fuse
+    offset; containments transfer reads at the found offset."""
+    from breakmer_tpu.assemble.greedy import Contig, ContigRead
+    from breakmer_tpu.assemble.olc import merge_contig_objects
+
+    a = Contig("a", "ACGTACGTACGTACGTACGTGGGG", [ContigRead("r1", 0, 0, 24)], [])
+    #                      ^ suffix ACGTACGTGGGG... overlap with b's prefix
+    b = Contig("b", "ACGTACGTGGGGTTTTCCCCAAAA", [ContigRead("r2", 1, 0, 24)], [])
+    merged = merge_contig_objects([a, b], min_len=12)
+    assert len(merged) == 1
+    m = merged[0]
+    assert m.id == "a"
+    assert m.seq == "ACGTACGTACGTACGTACGTGGGGTTTTCCCCAAAA"
+    offs = {r.name: r.offset for r in m.reads}
+    assert offs == {"r1": 0, "r2": 12}
+    # containment: c inside m.seq at offset 20
+    c = Contig("c", "GGGGTTTT", [ContigRead("r3", 2, 0, 8)], [])
+    merged2 = merge_contig_objects([m, c], min_len=8)
+    assert len(merged2) == 1
+    assert {r.name: r.offset for r in merged2[0].reads}["r3"] == 20
+
+
+def test_merge_contig_objects_no_overlap_unchanged():
+    from breakmer_tpu.assemble.greedy import Contig, ContigRead
+    from breakmer_tpu.assemble.olc import merge_contig_objects
+
+    a = Contig("a", "ACGTACGTACGTACGTACGTACGT", [ContigRead("r1", 0, 0, 24)], [])
+    b = Contig("b", "TTTTCCCCAAAAGGGGTTTTCCCC", [ContigRead("r2", 1, 0, 24)], [])
+    assert [c.id for c in merge_contig_objects([a, b], 20)] == ["a", "b"]

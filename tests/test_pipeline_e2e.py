@@ -484,3 +484,57 @@ def test_e2e_sharded_genome_index_identical(panel, tmp_path):
     assert isinstance(r2.genome, ShardedGenomeIndex)
     got_events = r2.run()
     assert [event_row(e) for e in got_events] == [event_row(e) for e in ref_events]
+
+
+def _olc_pipeline_contigs(tmp_path, olc_merge):
+    """Drive one region whose 150bp inversion junctions assemble as two
+    contigs (interior k-mers are reference revcomp — no greedy chaining)
+    that overlap textually inside the inverted segment."""
+    import numpy as np
+
+    from breakmer_tpu.align.realign import RegionRef
+    from breakmer_tpu.encode import encode_seq
+    from breakmer_tpu.io.bed import TargetRegion
+    from breakmer_tpu.io.sam import read_sam
+    from breakmer_tpu.pipeline import TargetPipeline
+
+    genome = {"chr1": rand_seq(77, 6000)}
+    hap = Haplotype(genome, [
+        RefBlock("chr1", 2100, 2500),
+        RefBlock("chr1", 2500, 2650, strand="-"),
+        RefBlock("chr1", 2650, 3100),
+    ])
+    sam = SamBuilder(genome)
+    sam.add_haplotype_reads(hap, 0, len(hap.seq), prefix="inv")
+    sam.add_background_pairs("chr1", 1900, 3300)
+    path = tmp_path / f"olc_{olc_merge}.sam"
+    sam.write(path)
+    cfg = Config(rearr_sr_thresh=2, trl_sr_thresh=2,
+                 olc_merge=olc_merge)
+    target = TargetRegion("INV", "chr1", 2000, 3200, [])
+    chrom, start, end = target.span(cfg.region_buffer)
+    ref_codes = encode_seq(genome["chr1"][start:end])
+    pipe = TargetPipeline(cfg, target, RegionRef.build(chrom, start, ref_codes,
+                                                      cfg.seed_kmer_size))
+    result = pipe.run(records=list(read_sam(path)))
+    assert result.error is None, result.error
+    return result
+
+
+def test_olc_merge_joins_split_junction_contigs(tmp_path):
+    """VERDICT r1 #5: with OLC merging, the two junction contigs of one
+    inversion fuse into a single contig spanning both junctions, and the
+    event is called once from the 3-segment path; without it the
+    junctions stay split across two contigs."""
+    split = _olc_pipeline_contigs(tmp_path, olc_merge=False)
+    merged = _olc_pipeline_contigs(tmp_path, olc_merge=True)
+    assert len(split.contigs) >= 2, [c.id for c in split.contigs]
+    assert len(merged.contigs) == 1, [c.id for c in merged.contigs]
+    # the merged contig carries the union of the supporting reads
+    assert merged.contigs[0].nreads >= max(c.nreads for c in split.contigs)
+    invs = [e for e in merged.events if e.sv_subtype == "inversion"]
+    assert len(invs) == 1, [(e.sv_type, e.sv_subtype) for e in merged.events]
+    positions = [p for (c, s_, e_) in invs[0].breakpoints
+                 for p in (s_, e_) if p is not None]
+    assert any(abs(p - 2500) <= 12 for p in positions), positions
+    assert any(abs(p - 2650) <= 12 for p in positions), positions
