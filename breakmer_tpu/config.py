@@ -75,6 +75,10 @@ class Config:
     gap_extend_pen: int = 1
     min_identity: float = 0.90     # min percent identity for a usable alignment
     full_hit_cov: float = 0.95     # query coverage => "single alignment" path
+    max_segments: int = 3          # greedy disjoint-segment selection depth
+                                   # (reference parity default; raise for
+                                   # chained rearrangements with 4+ contig
+                                   # segments — VERDICT r1 missing #6)
 
     # --- SV calling thresholds (reference: sv_caller.py filter stack) -----
     indel_size: int = 15           # min indel size to report (reference default)

@@ -166,6 +166,7 @@ class TargetPipeline:
             min_seg_len=min(cfg.trl_min_seg_len, cfg.rearr_min_seg_len),
             min_identity=cfg.min_identity,
             full_hit_cov=cfg.full_hit_cov,
+            max_segments=cfg.max_segments,
         )
 
     def assemble_contigs(self) -> List[Contig]:

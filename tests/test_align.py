@@ -7,6 +7,7 @@ from breakmer_tpu.align import GenomeIndex, SeedIndex, realign_contig, traceback
 from breakmer_tpu.align.realign import RegionRef
 from breakmer_tpu.encode import encode_seq, revcomp
 from breakmer_tpu.ops.sw import SWParams
+from tests.fixtures import rand_seq
 from tests.oracles import oracle_sw
 
 
@@ -264,3 +265,35 @@ def test_split_alignment_keeps_real_deletion_and_divergent_segment():
         q2[p] = (q2[p] + 1) % 4
     aln2 = traceback_align(q2, t, params)
     assert len(split_alignment(aln2, q2, t, params)) == 1
+
+
+def test_max_segments_four_segment_chain():
+    """A chained rearrangement with 4 contig segments truncates silently
+    at the reference-parity default max_segments=3 and resolves fully at
+    4 (config-exposed in r2; VERDICT r1 missing #6)."""
+
+    genome = {"chr1": rand_seq(81, 9000), "chr2": rand_seq(82, 6000)}
+    gi = GenomeIndex(genome, 11)
+    region_ref = RegionRef.build(
+        "chr1", 2000, encode_seq(genome["chr1"][2000:3300])
+    )
+    contig = (genome["chr1"][2150:2250] + genome["chr1"][2600:2700]
+              + genome["chr2"][4000:4100] + genome["chr1"][3000:3100])
+    segs3 = realign_contig(encode_seq(contig), region_ref, genome=gi,
+                           max_segments=3)
+    segs4 = realign_contig(encode_seq(contig), region_ref, genome=gi,
+                           max_segments=4)
+    assert len(segs3) == 3
+    assert len(segs4) == 4
+    covered = sum(s.q_end - s.q_start for s in segs4)
+    assert covered >= 390  # all four 100bp blocks placed
+    assert {s.chrom for s in segs4} == {"chr1", "chr2"}
+    # config plumbing: the knob reaches realign via realign_opts
+    from breakmer_tpu.config import Config
+    from breakmer_tpu.io.bed import TargetRegion
+    from breakmer_tpu.pipeline import TargetPipeline
+
+    cfg = Config(max_segments=4)
+    pipe = TargetPipeline(cfg, TargetRegion("X", "chr1", 2000, 3300, []),
+                          region_ref)
+    assert pipe.realign_opts()["max_segments"] == 4

@@ -175,3 +175,47 @@ def test_clip_coverage_counts_softclip_spans():
     assert res_on.coverage_at("chr1", 621) == 0
     # aligned spans unchanged
     assert res_off.coverage_at("chr1", 550) == res_on.coverage_at("chr1", 550) == 2
+
+
+def test_adapter_3p_with_indel():
+    """cutadapt parity (VERDICT r1 #9): an adapter copy carrying an
+    INSERTION or DELETION within floor(e*L) errors is still found and
+    trimmed — the r1 Hamming matcher missed these."""
+    from breakmer_tpu.extract import _find_adapter_3p
+
+    adapter = "AGATCGGAAGAGCACACGTCTGAACTCC"  # 28bp, e=0.1 -> 2 errors
+    payload = "ACGTTGCACCATGGTTACGGATCCGATC"
+    # deletion of one adapter base in the read copy
+    ad_del = adapter[:10] + adapter[11:]
+    assert _find_adapter_3p(payload + ad_del, adapter) == len(payload)
+    # insertion of one extra base in the read copy
+    ad_ins = adapter[:12] + "T" + adapter[12:]
+    assert _find_adapter_3p(payload + ad_ins, adapter) == len(payload)
+    # two indels still within floor(0.1*28) = 2
+    ad_2 = (adapter[:8] + adapter[9:20] + "G" + adapter[20:])
+    assert _find_adapter_3p(payload + ad_2, adapter) == len(payload)
+    # three errors exceed the budget -> no trim
+    ad_3 = adapter[:5] + adapter[6:12] + "C" + adapter[12:20] + adapter[21:]
+    assert _find_adapter_3p(payload + ad_3, adapter) == len(payload + ad_3)
+
+
+def test_adapter_5p_with_indel():
+    from breakmer_tpu.extract import _find_adapter_5p
+
+    adapter = "TTTCCCGGGAAATTTCCCGGGAAACCCC"  # 28bp
+    payload = "ACGTTGCACCATGGTTACGGATCCGATG"
+    ad_del = adapter[:14] + adapter[15:]
+    assert _find_adapter_5p(ad_del + payload, adapter) == len(ad_del)
+    ad_ins = adapter[:7] + "A" + adapter[7:]
+    assert _find_adapter_5p(ad_ins + payload, adapter) == len(ad_ins)
+
+
+def test_adapter_overlap_with_indel_at_read_end():
+    from breakmer_tpu.extract import _find_adapter_3p
+
+    adapter = "AGATCGGAAGAGCACACGTC"
+    payload = "ACGTTGCACCATGGTTACGG"
+    # 14bp adapter prefix at the 3' end with one deletion (floor(.1*14)=1)
+    ov = adapter[:7] + adapter[8:14]
+    read = payload + ov
+    assert _find_adapter_3p(read, adapter) == len(payload)
