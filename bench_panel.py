@@ -118,6 +118,7 @@ def main() -> None:
             "platform": platform,
             "detail": {
                 "n_genes": n_genes,
+                "read_step": read_step,
                 "calls": warm["calls"],
                 "records": warm["records"],
                 "reads_per_s": round(warm["records"] / warm["elapsed_s"], 1),

@@ -119,14 +119,23 @@ class _Growing:
 
 def _build_postings(
     kmers: np.ndarray, valid: np.ndarray
-) -> Dict[int, List[Tuple[int, int]]]:
-    """kmer code -> [(read_index, position)] in deterministic order."""
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """kmer code -> (read_indices, positions) in deterministic order
+    (read asc, then position asc). Array-valued postings: the r1
+    per-entry python tuple loop was the hottest host line of the warm
+    panel profile; consumers zip the two arrays on demand."""
     reads_idx, pos_idx = np.nonzero(valid)
     codes = kmers[reads_idx, pos_idx]
     order = np.lexsort((pos_idx, reads_idx, codes))
-    postings: Dict[int, List[Tuple[int, int]]] = {}
-    for o in order:
-        postings.setdefault(int(codes[o]), []).append((int(reads_idx[o]), int(pos_idx[o])))
+    codes_s = codes[order]
+    r_s = reads_idx[order]
+    p_s = pos_idx[order]
+    bounds = np.r_[
+        0, np.nonzero(codes_s[1:] != codes_s[:-1])[0] + 1, len(codes_s)
+    ]
+    postings: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+        postings[int(codes_s[a])] = (r_s[a:b], p_s[a:b])
     return postings
 
 
@@ -134,6 +143,8 @@ def _mismatches(a: np.ndarray, b: np.ndarray) -> int:
     usable = (a < 4) & (b < 4)
     return int(np.sum((a != b) & usable))
 
+
+_EMPTY = np.empty(0, dtype=np.int64)
 
 _ENC_LUT = np.full(256, 4, dtype=np.int8)
 for _ch, _cc in zip(b"ACGT", range(4)):
@@ -195,7 +206,11 @@ def assemble(
     for seed_code in (int(v) for v in kmer_values):
         if seed_code in kmer_used:
             continue
-        seed_hits = [(r, p) for (r, p) in postings.get(seed_code, []) if r not in read_used]
+        sh_r, sh_p = postings.get(seed_code, (_EMPTY, _EMPTY))
+        seed_hits = [
+            (int(r), int(p)) for r, p in zip(sh_r.tolist(), sh_p.tolist())
+            if r not in read_used
+        ]
         if len(seed_hits) < min_contig_reads:
             kmer_used.add(seed_code)
             continue
@@ -263,7 +278,8 @@ def assemble(
                 continue
             contig_kpos = cons_start + cpos
             added = False
-            for r, p in postings.get(code, []):
+            h_r, h_p = postings.get(code, (_EMPTY, _EMPTY))
+            for r, p in zip(h_r.tolist(), h_p.tolist()):
                 if r in read_used or r in placed_set:
                     continue
                 added |= place(r, p, contig_kpos)

@@ -34,15 +34,26 @@ from breakmer_tpu.ops.sw import SWParams, sw_score, sw_score_auto
 from breakmer_tpu.parallel.mesh import AXIS_PAIRS, AXIS_REGIONS
 
 
-def _per_region_kmers(reads, lengths, ref, ref_length, k: int, min_count: int):
-    """One region: sample-only k-mer values/counts (static shapes)."""
+def _per_region_kmers(reads, lengths, ref, ref_length,
+                      normal_reads=None, normal_lengths=None,
+                      *, k: int, min_count: int):
+    """One region: sample-only k-mer values/counts (static shapes).
+    ``normal_reads``/``normal_lengths`` add the in-device matched-normal
+    subtraction (same semantics as ops.kmer.sample_only_kmers: one-strand
+    normal table — normal reads already cover both strands). A region
+    with no normal reads passes all-PAD rows, whose k-mer table is all
+    sentinels and subtracts nothing."""
     km, _ = kmer_codes(reads, lengths, k)
     s = sort_kmers(km)
     values, counts, _ = unique_counts_sorted(s)
     rkm, _ = kmer_codes(ref[None, :], ref_length[None], k)
     rkm = rkm.reshape(-1)
     table = jnp.sort(jnp.concatenate([rkm, revcomp_kmers(rkm, k)]))
-    values, counts = subtract_sorted(values, counts, table)
+    normal_table = None
+    if normal_reads is not None:
+        nkm, _ = kmer_codes(normal_reads, normal_lengths, k)
+        normal_table = sort_kmers(nkm)
+    values, counts = subtract_sorted(values, counts, table, normal_table)
     keep = counts >= min_count
     return (
         jnp.where(keep, values, SENTINEL),

@@ -408,7 +408,7 @@ class Runner:
         METER.reset()  # per-run stage/GCUPS counters (-> metrics.json)
         if not self.targets:
             self.setup()
-        if cfg.batch_regions and not cfg.normal_bam_file:
+        if cfg.batch_regions:
             return self._run_batched(resume)
         return self._run_serial(resume)
 
@@ -483,43 +483,20 @@ class Runner:
     def _run_batched(self, resume: bool) -> List[SVEvent]:
         """Config #3 path: the whole panel's k-mer stage in packed
         multi-region device launches (parallel/kmer_batch), then per-region
-        assemble/realign/call. Regions with a matched normal fall back to
-        the serial path (normal subtraction is not batched)."""
-        from breakmer_tpu.parallel.kmer_batch import run_kmer_batches
-        from breakmer_tpu.parallel.regions import pack_region_batches
+        assemble/realign/call. A matched normal rides in the same packed
+        launches (RegionBatch.normal_reads; in-device subtraction —
+        batched ≡ serial calls, cross-tested)."""
+        from breakmer_tpu.parallel.kmer_batch import KmerBatchPipeline
 
         cfg = self.cfg
         ledger = self._load_ledger() if resume else {}
         all_events: List[SVEvent] = []
         t_start = time.time()
 
-        # phase A: extract + clean every region (host, streaming)
-        pipes: Dict[str, TargetPipeline] = {}
-        packable = []
-        for name, target in self.targets.items():
-            if name in ledger:
-                log.info("target %s: resumed from ledger", name)
-                continue
-            region_ref = self.region_ref(target)
-            chrom, start, end = target.span(cfg.region_buffer)
-            pipe = TargetPipeline(
-                cfg, target, region_ref, genome=self.genome, rmask=self.rmask
-            )
-            pipe.global_coverage_at = self._global_coverage_at
-            pipe.user_filter = self.user_filter
-            pipes[name] = pipe
-            ext = self._columnar_extract(target)
-            ok = (
-                pipe.extract_and_clean(extract_result=ext)
-                if ext is not None
-                else pipe.extract_and_clean(self._region_records(chrom, start, end))
-            )
-            if ok:
-                packable.append((name, pipe.clean_batch, region_ref.codes))
-
-        # phase B: packed device k-mer launches — sharded over the local
-        # device mesh when more than one device is attached (the product
-        # path of the multi-chip design, same code the dryrun compiles)
+        # device mesh decided up front so packed k-mer launches can
+        # dispatch DURING extraction — sharded over the local device mesh
+        # when more than one device is attached (the product path of the
+        # multi-chip design, same code the dryrun compiles)
         import jax
 
         mesh = None
@@ -539,22 +516,47 @@ class Runner:
         if mesh is not None:
             r_axis = mesh.devices.shape[0]
             rpb = r_axis * max(1, rpb // r_axis)
-        kmers_by_region = run_kmer_batches(
-            pack_region_batches(packable, regions_per_batch=rpb),
-            cfg.kmer_size, cfg.min_kmer_count, mesh=mesh,
+        kb = KmerBatchPipeline(
+            cfg.kmer_size, cfg.min_kmer_count, mesh=mesh, regions_per_batch=rpb
         )
 
-        # phase C: assemble all regions (host), then realign EVERY contig
-        # of the panel in lockstep batched device launches, then classify
+        # phase A: extract + clean every region (host, streaming); full
+        # tier groups dispatch their device launch immediately, so the
+        # k-mer stage runs under the remaining extraction (VERDICT r1 #4)
+        pipes: Dict[str, TargetPipeline] = {}
+        for name, target in self.targets.items():
+            if name in ledger:
+                log.info("target %s: resumed from ledger", name)
+                continue
+            region_ref = self.region_ref(target)
+            chrom, start, end = target.span(cfg.region_buffer)
+            pipe = TargetPipeline(
+                cfg, target, region_ref, genome=self.genome, rmask=self.rmask,
+                normal_batch=self._normal_batch(target),
+            )
+            pipe.global_coverage_at = self._global_coverage_at
+            pipe.user_filter = self.user_filter
+            pipes[name] = pipe
+            ext = self._columnar_extract(target)
+            ok = (
+                pipe.extract_and_clean(extract_result=ext)
+                if ext is not None
+                else pipe.extract_and_clean(self._region_records(chrom, start, end))
+            )
+            if ok:
+                kb.add(name, pipe.clean_batch, region_ref.codes, pipe.normal_batch)
+
+        # phase B/C overlap: assemble each batch's regions as its fetch
+        # lands while later batches still run on device; then realign
+        # EVERY contig of the panel in lockstep batched device launches
         from breakmer_tpu.align.realign import realign_contigs
         from breakmer_tpu.encode import encode_seq
 
         t0c = time.time()
         items = []
         item_owner = []
-        for name, pipe in pipes.items():
-            if name in kmers_by_region:
-                pipe.set_kmers(*kmers_by_region[name])
+
+        def assemble_one(name: str, pipe: TargetPipeline) -> None:
             try:
                 for contig in pipe.assemble_contigs():
                     items.append((encode_seq(contig.seq), pipe.region_ref))
@@ -563,6 +565,16 @@ class Runner:
                 log.exception("target %s assembly failed", name)
                 pipe.contigs = []
                 pipe._assembly_error = f"{type(exc).__name__}: {exc}"
+
+        assembled = set()
+        for region_kmers in kb.results():
+            for name, vc in region_kmers.items():
+                pipes[name].set_kmers(*vc)
+                assemble_one(name, pipes[name])
+                assembled.add(name)
+        for name, pipe in pipes.items():
+            if name not in assembled:
+                assemble_one(name, pipe)  # no kmers -> empty contig set
         segs_all = []
         if items:
             any_pipe = next(iter(pipes.values()))

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Real-TPU bit-agreement check: ops.sw_pallas vs the ops.sw scan oracle.
+
+The test suite exercises the Pallas kernel in interpret mode on CPU
+(tests/test_sw_pallas.py); THIS script is the committed hardware half of
+the invariant (CLAUDE.md: "ops.sw is the semantics oracle; ops.sw_pallas
+must agree BIT-EXACTLY") — run it on the real chip after any kernel
+change:
+
+    python tools/tpu_agreement.py
+
+Covers every pad-tier shape the pipeline launches, both substitution
+paths (generic and no_n), mid-sequence N handling, masked-requery-style
+inputs (mid-sequence pad 4s), planted high-identity hits on both ends,
+and empty/all-pad rows. Exits non-zero on any mismatch.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from breakmer_tpu.ops.sw import SWParams, sw_score
+    from breakmer_tpu.ops.sw_pallas import sw_score_pallas
+
+    assert jax.default_backend() == "tpu", (
+        f"this is the HARDWARE agreement check; backend is "
+        f"{jax.default_backend()} (run without JAX_PLATFORMS overrides)"
+    )
+    rng = np.random.default_rng(20260818)
+    params = SWParams()
+    shapes = [(8, 128, 256), (48, 128, 512), (64, 256, 512),
+              (512, 256, 512), (16, 512, 1024), (8, 1024, 2048)]
+    failures = 0
+    for (B, Lq, Lt) in shapes:
+        q = rng.integers(0, 4, (B, Lq), dtype=np.int8)
+        t = rng.integers(0, 4, (B, Lt), dtype=np.int8)
+        # plant structure: exact hits, end-anchored hits, N runs, pad 4s
+        t[0, 10 : 10 + Lq // 2] = q[0, : Lq // 2]
+        t[1, Lt - Lq // 2 :] = q[1, : Lq // 2]
+        q[2, Lq // 3 : Lq // 3 + 5] = 4          # mid-sequence N (generic)
+        t[3, Lt // 2 : Lt // 2 + 9] = 4
+        q[4, Lq // 2 :] = 4                       # trailing pad
+        q[5] = 4                                  # all-pad row
+        no_n_ok = not ((q[: B // 2] >= 4).any() or (t[: B // 2] >= 4).any())
+        cases = [("generic", q, t, False)]
+        qn = np.where(q >= 4, 0, q)[: max(8, B // 2)]
+        tn = np.where(t >= 4, 0, t)[: max(8, B // 2)]
+        cases.append(("no_n", qn, tn, True))
+        del no_n_ok
+        for name, qq, tt, flag in cases:
+            want = tuple(np.asarray(x) for x in sw_score(
+                jnp.asarray(qq), jnp.asarray(tt), params))
+            got = tuple(np.asarray(x) for x in sw_score_pallas(
+                jnp.asarray(qq), jnp.asarray(tt), params, no_n=flag))
+            for label, a, b in zip(("score", "q_end", "t_end"), want, got):
+                if not np.array_equal(a, b):
+                    bad = int(np.nonzero(a != b)[0][0])
+                    print(f"MISMATCH {name} B{B} {Lq}x{Lt} {label} "
+                          f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
+                    failures += 1
+        print(f"ok {B}x({Lq}x{Lt}) generic+no_n")
+    if failures:
+        print(f"FAILED: {failures} mismatches")
+        return 1
+    print("AGREEMENT: pallas == scan oracle bit-exactly on hardware")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
