@@ -6,7 +6,7 @@ TPU tunnel. Builds a deterministic synthetic panel (default 20 genes, a
 planted SV in every other gene), runs the full Runner twice (the second
 run measures with warm caches), and prints one JSON line.
 
-Usage: python bench_panel.py [n_genes] [reads_per_region]
+Usage: python bench_panel.py [n_genes] [reads_per_region] [nprocs]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ import time
 from pathlib import Path
 
 
-def build_panel(work: Path, n_genes: int, read_step: int):
+def build_panel(work: Path, n_genes: int, read_step: int, nprocs: int = 1):
     sys.path.insert(0, str(Path(__file__).parent))
     from breakmer_tpu.config import Config
     from breakmer_tpu.io.fasta import write_fasta
@@ -60,6 +60,7 @@ def build_panel(work: Path, n_genes: int, read_step: int):
         sample_bam_file=str(work / "sample.sam"),
         indel_sr_thresh=2,
         batch_regions=True,
+        nprocs=nprocs,
     )
 
 
@@ -86,13 +87,14 @@ PANEL_BASELINE = Path(__file__).parent / "bench_panel_baseline.json"
 def main() -> None:
     n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     read_step = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from breakmer_tpu.device import configure
 
     platform = configure("auto")
     work = Path(tempfile.mkdtemp(prefix="breakmer_panel_"))
     try:
-        cfg = build_panel(work, n_genes, read_step)
+        cfg = build_panel(work, n_genes, read_step, nprocs)
         cold = run_once(cfg)
         shutil.rmtree(cfg.analysis_dir, ignore_errors=True)
         warm = run_once(cfg)
@@ -119,6 +121,7 @@ def main() -> None:
             "detail": {
                 "n_genes": n_genes,
                 "read_step": read_step,
+                "nprocs": nprocs,
                 "calls": warm["calls"],
                 "records": warm["records"],
                 "reads_per_s": round(warm["records"] / warm["elapsed_s"], 1),

@@ -103,7 +103,8 @@ class Config:
     device: str = "auto"           # auto | cpu | tpu (see breakmer_tpu.device)
 
     # --- device / parallel ------------------------------------------------
-    nprocs: int = 1                # reference -p; here: host-side worker hint
+    nprocs: int = 1                # reference -p; host worker threads over
+    #                                the batched path's host stages (runner)
     batch_regions: bool = False    # pack regions into one device kmer launch
     preload_alignments: bool = True  # parse the alignment file once, filter
                                      # per region in memory (False = rescan)

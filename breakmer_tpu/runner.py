@@ -10,8 +10,10 @@ in-memory object), reference data is cached as packed .npy artifacts
 (content-addressed by region), and a per-region completion ledger enables
 resume at region granularity (SURVEY.md §5 checkpoint/resume). Device-
 level data parallelism over regions lives in parallel/ and is used by the
-batched k-mer/SW calls; host-side orchestration here stays single-process
-and deterministic.
+batched k-mer/SW calls; the reference's Pool(nprocs) maps to nprocs host
+worker THREADS over the batched path's host stages (extract / assemble /
+classify), with every cross-region ordering decision kept on the main
+thread so nprocs>1 output is byte-identical to nprocs=1.
 """
 
 from __future__ import annotations
@@ -55,6 +57,10 @@ class Runner:
         self._indexed_reader = None  # cached BamIndexedReader (indexed path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
+        import threading
+
+        # serializes indexed-BAM seeks when nprocs>1 (shared file handle)
+        self._records_lock = threading.Lock()
 
     # -- setup (reference: runner.__init__ + start_blat_server) ------------
     def setup(self) -> None:
@@ -230,20 +236,22 @@ class Runner:
         self._ledger_append_path.unlink(missing_ok=True)
 
     # -- alignment streaming -----------------------------------------------
-    def _columnar_extract(self, target: TargetRegion):
-        """Native-BAM columnar extraction (C++ decode once, vectorized
-        numpy classification per region); None when unavailable — the
-        caller falls back to the record path."""
+    def _ensure_native_cols(self) -> bool:
+        """One-time native-BAM columnar decode (C++ inflate + decode).
+        Returns True when the columnar path is usable. Called once from
+        the main thread before any worker threads extract (the build is
+        not guarded by a lock; the per-region reads of the shared columns
+        afterwards are read-only and thread-safe)."""
         cfg = self.cfg
         if not (
             cfg.preload_alignments
             and str(cfg.sample_bam_file).endswith(".bam")
         ):
-            return None
+            return False
         from breakmer_tpu import native
 
         if not native.available():
-            return None
+            return False
         if self._native_cols is None:
             from breakmer_tpu.io.bam import BamReader
 
@@ -252,12 +260,21 @@ class Runner:
                 reader = BamReader(cfg.sample_bam_file)
                 cols = native.bam_decode_columns(reader._data, reader._align_off)
             if cols is None:
-                return None
+                return False
             self._native_cols = (cols, [n for n, _ in reader.refs])
             log.info(
                 "native BAM decode: %d records in %.1fs",
                 cols.get("n", 0), time.time() - t0,
             )
+        return True
+
+    def _columnar_extract(self, target: TargetRegion):
+        """Native-BAM columnar extraction (C++ decode once, vectorized
+        numpy classification per region); None when unavailable — the
+        caller falls back to the record path."""
+        cfg = self.cfg
+        if not self._ensure_native_cols():
+            return None
         from breakmer_tpu.extract import extract_sv_reads_columnar
 
         cols, ref_names = self._native_cols
@@ -299,6 +316,16 @@ class Runner:
         cand = idx[:hi][eend[:hi] > start]
         cand.sort()  # restore file order (the scan's iteration order)
         return [self._sample_records[i] for i in cand]
+
+    def _prewarm_extraction(self, first_target: TargetRegion) -> None:
+        """Build every lazily-initialized shared structure the extraction
+        workers read (native columns, preloaded records + interval bins)
+        ON THE MAIN THREAD, so nprocs>1 workers only ever read them."""
+        if self._ensure_native_cols():
+            return
+        if self.cfg.preload_alignments:
+            chrom, start, end = first_target.span(self.cfg.region_buffer)
+            self._region_records(chrom, start, end)
 
     def _ensure_record_bins(self) -> None:
         """One-time per-chrom interval arrays over the preloaded records:
@@ -520,16 +547,34 @@ class Runner:
             cfg.kmer_size, cfg.min_kmer_count, mesh=mesh, regions_per_batch=rpb
         )
 
+        # host worker pool (reference parity: runner.run forks a
+        # Pool(nprocs) over targets — SURVEY.md §2 #19). Here the device
+        # already batches across regions, so nprocs threads parallelize
+        # the HOST stages only: per-region extraction/cleaning, assembly,
+        # and classification. Threads, not processes: the hot host work is
+        # numpy/ctypes (GIL released), and per-region state stays shared.
+        # Determinism: results are per-region and every cross-region
+        # ordering decision (kb.add packing order, realign item order,
+        # ledger append order) is made on the main thread in target order,
+        # so nprocs>1 output is byte-identical to nprocs=1 (tested).
+        pool = None
+        nprocs = max(1, int(cfg.nprocs or 1))
+        if nprocs > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=nprocs)
+            log.info("host worker pool: %d threads", nprocs)
+
         # phase A: extract + clean every region (host, streaming); full
         # tier groups dispatch their device launch immediately, so the
         # k-mer stage runs under the remaining extraction (VERDICT r1 #4)
         pipes: Dict[str, TargetPipeline] = {}
+        order: List[str] = []
         for name, target in self.targets.items():
             if name in ledger:
                 log.info("target %s: resumed from ledger", name)
                 continue
             region_ref = self.region_ref(target)
-            chrom, start, end = target.span(cfg.region_buffer)
             pipe = TargetPipeline(
                 cfg, target, region_ref, genome=self.genome, rmask=self.rmask,
                 normal_batch=self._normal_batch(target),
@@ -537,14 +582,38 @@ class Runner:
             pipe.global_coverage_at = self._global_coverage_at
             pipe.user_filter = self.user_filter
             pipes[name] = pipe
+            order.append(name)
+
+        def extract_one(name: str) -> bool:
+            pipe = pipes[name]
+            target = self.targets[name]
             ext = self._columnar_extract(target)
-            ok = (
-                pipe.extract_and_clean(extract_result=ext)
-                if ext is not None
-                else pipe.extract_and_clean(self._region_records(chrom, start, end))
-            )
-            if ok:
-                kb.add(name, pipe.clean_batch, region_ref.codes, pipe.normal_batch)
+            if ext is not None:
+                return pipe.extract_and_clean(extract_result=ext)
+            chrom, start, end = target.span(cfg.region_buffer)
+            if pool is not None and not cfg.preload_alignments:
+                # the indexed-BAM reader seeks on one shared handle
+                with self._records_lock:
+                    records = list(self._region_records(chrom, start, end))
+            else:
+                records = self._region_records(chrom, start, end)
+            return pipe.extract_and_clean(records)
+
+        if pool is not None and order:
+            # shared read-only state must exist BEFORE workers touch it
+            self._prewarm_extraction(self.targets[order[0]])
+            futs = [(n, pool.submit(extract_one, n)) for n in order]
+            for name, fut in futs:  # kb.add in target order: deterministic
+                if fut.result():
+                    pipe = pipes[name]
+                    kb.add(name, pipe.clean_batch, pipe.region_ref.codes,
+                           pipe.normal_batch)
+        else:
+            for name in order:
+                if extract_one(name):
+                    pipe = pipes[name]
+                    kb.add(name, pipe.clean_batch, pipe.region_ref.codes,
+                           pipe.normal_batch)
 
         # phase B/C overlap: assemble each batch's regions as its fetch
         # lands while later batches still run on device; then realign
@@ -556,25 +625,44 @@ class Runner:
         items = []
         item_owner = []
 
-        def assemble_one(name: str, pipe: TargetPipeline) -> None:
+        def assemble_one(name: str, pipe: TargetPipeline) -> list:
+            """Per-region assembly; returns this region's realign items so
+            the main thread appends them in deterministic target order."""
+            out = []
             try:
                 for contig in pipe.assemble_contigs():
-                    items.append((encode_seq(contig.seq), pipe.region_ref))
-                    item_owner.append(name)
+                    out.append((encode_seq(contig.seq), pipe.region_ref))
             except Exception as exc:
                 log.exception("target %s assembly failed", name)
                 pipe.contigs = []
                 pipe._assembly_error = f"{type(exc).__name__}: {exc}"
+            return out
+
+        def collect(name: str, region_items: list) -> None:
+            items.extend(region_items)
+            item_owner.extend([name] * len(region_items))
 
         assembled = set()
         for region_kmers in kb.results():
-            for name, vc in region_kmers.items():
-                pipes[name].set_kmers(*vc)
-                assemble_one(name, pipes[name])
-                assembled.add(name)
+            group = list(region_kmers.items())
+            if pool is not None:
+                for name, vc in group:
+                    pipes[name].set_kmers(*vc)
+                futs = [
+                    (name, pool.submit(assemble_one, name, pipes[name]))
+                    for name, _ in group
+                ]
+                for name, fut in futs:
+                    collect(name, fut.result())
+                    assembled.add(name)
+            else:
+                for name, vc in group:
+                    pipes[name].set_kmers(*vc)
+                    collect(name, assemble_one(name, pipes[name]))
+                    assembled.add(name)
         for name, pipe in pipes.items():
             if name not in assembled:
-                assemble_one(name, pipe)  # no kmers -> empty contig set
+                collect(name, assemble_one(name, pipe))  # no kmers -> empty
         segs_all = []
         if items:
             any_pipe = next(iter(pipes.values()))
@@ -589,8 +677,9 @@ class Runner:
         for owner, segs in zip(item_owner, segs_all):
             segs_by_region[owner].append(segs)
 
-        for name, pipe in pipes.items():
+        def classify_one(name: str):
             t0 = time.time()
+            pipe = pipes[name]
             try:
                 if getattr(pipe, "_assembly_error", None):
                     raise RuntimeError(pipe._assembly_error)
@@ -601,6 +690,19 @@ class Runner:
                     target=pipe.target, events=[], all_events=[], contigs=[],
                     error=f"{type(exc).__name__}: {exc}",
                 )
+            return result, time.time() - t0
+
+        if pool is not None:
+            classified = dict(zip(order, pool.map(classify_one, order)))
+            pool.shutdown(wait=True)
+        else:
+            classified = None
+        for name, pipe in pipes.items():
+            t0 = time.time()
+            if classified is not None:
+                result, dt = classified[name]
+            else:
+                result, dt = classify_one(name)
             self._annotate_other_regions(result.events)
             if cfg.keep_intermediates:
                 self._write_intermediates(name, pipe, result)
@@ -610,14 +712,14 @@ class Runner:
                 "target %s [batched]: %d sv reads, %d kmers, %d contigs, "
                 "%d calls in %.2fs%s",
                 name, result.n_sv_reads, result.n_sample_kmers,
-                len(result.contigs), len(result.events), time.time() - t0,
+                len(result.contigs), len(result.events), dt + time.time() - t0,
                 f" ERROR={result.error}" if result.error else "",
             )
             ledger[name] = {
                 "rows": [event_row(ev) for ev in result.events],
                 "vcf": self._vcf_records(name, result.events),
                 "error": result.error,
-                "elapsed_s": round(time.time() - t0, 3),
+                "elapsed_s": round(dt + time.time() - t0, 3),
                 "stats": _region_stats(result),
             }
             self._append_ledger(name, ledger[name])

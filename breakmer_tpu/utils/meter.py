@@ -67,5 +67,7 @@ class Meter:
 # feed it (sw_score_batch) run on the runner's thread. Library callers
 # wanting isolated counters should instantiate their own Meter; host
 # worker THREADS inside one runner are fine (adds are GIL-atomic enough
-# for coarse wall metrics, and stage() is only used on the main thread).
+# for coarse wall metrics). With nprocs>1 worker threads, stage() sums
+# per-thread wall across overlapping regions, so a stage's total can
+# exceed the run's wall clock — read stage_s as aggregate stage cost.
 METER = Meter()

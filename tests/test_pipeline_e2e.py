@@ -400,6 +400,37 @@ def test_e2e_batched_regions_identical(panel, tmp_path):
     assert batched == serial
 
 
+def test_e2e_batched_nprocs_identical(panel, tmp_path):
+    """nprocs>1 (host worker threads over extract/assemble/classify) must
+    be byte-identical to the single-threaded batched path — every
+    cross-region ordering decision stays on the main thread (runner
+    _run_batched; reference Pool(nprocs), SURVEY.md §2 #19)."""
+    work, cfg, INS = panel
+    cfg2 = Config(**{**cfg.__dict__,
+                     "batch_regions": True,
+                     "nprocs": 4,
+                     "analysis_dir": str(tmp_path / "analysis_np4")})
+    runner = Runner(cfg2)
+    runner.setup()
+    runner.run()
+    serial = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
+    np4 = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
+    assert np4 == serial
+    # the ledger rows (per-region calls, stats) must also agree with a
+    # fresh nprocs=1 batched run, not just the aggregate table
+    cfg1 = Config(**{**cfg.__dict__,
+                     "batch_regions": True,
+                     "nprocs": 1,
+                     "analysis_dir": str(tmp_path / "analysis_np1")})
+    r1 = Runner(cfg1)
+    r1.setup()
+    r1.run()
+    def rows(d):
+        led = json.loads((Path(d) / "ledger.json").read_text())
+        return {k: (v["rows"], v["stats"]) for k, v in led.items()}
+    assert rows(cfg2.analysis_dir) == rows(cfg1.analysis_dir)
+
+
 def test_e2e_bam_input(panel, tmp_path):
     """Same panel through the BAM path: convert the SAM fixture to BAM and
     expect identical calls (config #1's 'bundled test BAM reads')."""
