@@ -90,6 +90,13 @@ class Config:
     min_disc_reads: int = 2        # discordant-pair support for translocations
     min_junction_overlap: int = 5  # bp a split read must span past a junction
     disc_pair_window: int = 1000   # bp window for matching disc mates to breakpoints
+    global_disc_support: bool = False  # count disc-pair support from a run-level
+    #                                map over the WHOLE sample (pairs anchored
+    #                                outside the region window contribute; the
+    #                                reference's per-target dict misses them —
+    #                                SURVEY.md §2 #6/#13). Global counts are
+    #                                per-PAIR (qname-deduped); the default
+    #                                per-region map counts per RECORD (parity)
     max_repeat_frac: float = 0.75  # reject segment if rmask overlap above this
     min_complexity: float = 0.25   # low-complexity contig filter threshold
     keep_repeat_regions: bool = False

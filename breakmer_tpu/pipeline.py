@@ -77,6 +77,9 @@ class TargetPipeline:
         # breakpoints outside the region (e.g. translocation partners);
         # the region's own coverage array takes precedence
         self.global_coverage_at = None
+        # run-level discordant-pair map (cfg.global_disc_support): set by
+        # the runner; replaces the region-local map at classify time
+        self.disc_override = None
 
     # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
     def extract_and_clean(
@@ -217,7 +220,11 @@ class TargetPipeline:
                     segs,
                     self.target.name,
                     cfg,
-                    disc=self.extract_result.disc if self.extract_result else None,
+                    disc=(
+                        self.disc_override
+                        if self.disc_override is not None
+                        else self.extract_result.disc if self.extract_result else None
+                    ),
                     coverage_at=self._coverage_at,
                 )
                 result.all_events.extend(events)

@@ -56,6 +56,7 @@ class Runner:
         self._record_bins = None  # per-chrom (idx, pos, end) interval arrays
         self._indexed_reader = None  # cached BamIndexedReader (indexed path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
+        self._global_disc = None   # run-level DiscordantPairs (lazy)
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
         import threading
 
@@ -389,6 +390,40 @@ class Runner:
             return depth
         return 0
 
+    def _global_disc_pairs(self):
+        """Run-level discordant-pair map (cfg.global_disc_support), built
+        once per run: native-columnar when the C++ decode is loaded,
+        otherwise one pass over the (preloaded or streamed) records.
+        Returns a DiscordantPairs with one qname-deduped entry per pair."""
+        if self._global_disc is not None:
+            return self._global_disc
+        cfg = self.cfg
+        t0 = time.time()
+        if self._ensure_native_cols():
+            from breakmer_tpu.extract import global_discordant_pairs_columnar
+
+            cols, ref_names = self._native_cols
+            self._global_disc = global_discordant_pairs_columnar(
+                cols, ref_names, cfg
+            )
+        else:
+            from breakmer_tpu.extract import global_discordant_pairs
+
+            if cfg.preload_alignments:
+                if self._sample_records is None:
+                    self._sample_records = list(
+                        read_alignments(cfg.sample_bam_file)
+                    )
+                records = self._sample_records
+            else:
+                records = read_alignments(cfg.sample_bam_file)
+            self._global_disc = global_discordant_pairs(records, cfg)
+        log.info(
+            "global discordant map: %d pairs in %.1fs",
+            len(self._global_disc), time.time() - t0,
+        )
+        return self._global_disc
+
     # -- per-target intermediates (reference keeps these as the de-facto
     # debugging fixtures: sv fastq, kmer dumps, contig fastas — SURVEY.md §4)
     def _write_intermediates(self, name: str, pipe: TargetPipeline, result) -> None:
@@ -464,6 +499,8 @@ class Runner:
             )
             pipe.global_coverage_at = self._global_coverage_at
             pipe.user_filter = self.user_filter
+            if cfg.global_disc_support:
+                pipe.disc_override = self._global_disc_pairs()
             ext = self._columnar_extract(target)
             if ext is not None:
                 result = pipe.run(extract_result=ext)
@@ -581,6 +618,8 @@ class Runner:
             )
             pipe.global_coverage_at = self._global_coverage_at
             pipe.user_filter = self.user_filter
+            if cfg.global_disc_support:
+                pipe.disc_override = self._global_disc_pairs()
             pipes[name] = pipe
             order.append(name)
 

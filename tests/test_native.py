@@ -142,6 +142,19 @@ def test_columnar_extraction_matches_record_path(tmp_path):
         assert col_out.disc.pairs == ref_out.disc.pairs
         np.testing.assert_array_equal(col_out.coverage, ref_out.coverage)
 
+    # run-level (global) discordant map: columnar twin must match the
+    # record path over the WHOLE file (cfg.global_disc_support)
+    from breakmer_tpu.extract import (
+        global_discordant_pairs,
+        global_discordant_pairs_columnar,
+    )
+
+    g_rec = global_discordant_pairs(read_bam(path), Config())
+    g_col = global_discordant_pairs_columnar(
+        cols, [n for n, _ in reader.refs], Config())
+    assert len(g_rec) > 0
+    assert g_col.pairs == g_rec.pairs
+
 
 def test_pack_2bit_matches_numpy():
     from breakmer_tpu.encode import pack_2bit as np_pack
