@@ -151,6 +151,105 @@ def test_vmem_guard_beyond_budget_raises_and_dispatch_falls_back():
     assert not pallas_shape_ok(1 << 14, (1 << 16) + (1 << 15))
 
 
+def _run_chunked(q, t, chunk, params=SWParams(), no_n=False):
+    import jax.numpy as jnp
+
+    ref = [np.asarray(x) for x in sw_score(jnp.asarray(q), jnp.asarray(t), params)]
+    got = [
+        np.asarray(x)
+        for x in sw_score_pallas(jnp.asarray(q), jnp.asarray(t), params,
+                                 interpret=True, no_n=no_n, target_chunk=chunk)
+    ]
+    return ref, got
+
+
+def test_pallas_chunked_matches_oracle():
+    """Target-chunked long-DP path (SURVEY §2b blockwise/tiled DP):
+    forced 128-wide chunks over a 512 target (C=4) must be bit-exact
+    with the oracle, including hits that STRADDLE chunk boundaries."""
+    rng = np.random.default_rng(21)
+    qs = ["".join(rng.choice(list("ACGT"), 100)) for _ in range(8)]
+    ts = ["".join(rng.choice(list("ACGT"), 500)) for _ in range(8)]
+    # plant hits across each internal chunk boundary (j = 128, 256, 384)
+    for i, j0 in enumerate((80, 200, 340, 460)):
+        ts[i] = ts[i][:j0] + qs[i] + ts[i][j0 + 100:]
+        ts[i] = ts[i][:500]
+    q = ReadBatch.from_seqs(qs, pad_to=128).codes
+    t = ReadBatch.from_seqs(ts, pad_to=512).codes
+    ref, got = _run_chunked(q, t, 128)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    assert (got[0][:3] >= 180).all()  # planted hits found across boundaries
+
+
+def test_pallas_chunked_tie_breaks():
+    """Tie-heavy inputs (2-letter alphabet, cheap gaps): the carried
+    boundary + fenced best update must preserve the oracle's earliest-
+    (diagonal, lane) tie-break even when equal-score cells appear in
+    different chunks."""
+    rng = np.random.default_rng(22)
+    q = rng.integers(0, 2, (16, 128), dtype=np.int8)
+    t = rng.integers(0, 2, (16, 384), dtype=np.int8)
+    for params in (SWParams(), SWParams(match=1, mismatch=1, gap_open=0, gap_extend=1)):
+        ref, got = _run_chunked(q, t, 128, params)
+        for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pallas_chunked_no_n_and_boundary_n():
+    """no_n fast path under chunking, plus generic path with a
+    mid-sequence N run placed exactly on a chunk boundary."""
+    rng = np.random.default_rng(23)
+    qs = ["".join(rng.choice(list("ACGT"), int(n))) for n in rng.integers(60, 120, 8)]
+    ts = ["".join(rng.choice(list("ACGT"), int(n))) for n in rng.integers(300, 380, 8)]
+    for i in range(0, 8, 2):
+        ts[i] = ts[i][:120] + qs[i] + ts[i][120:]
+    q = ReadBatch.from_seqs(qs, pad_to=128).codes
+    t = ReadBatch.from_seqs(ts, pad_to=384).codes
+    ref, got = _run_chunked(q, t, 128, no_n=True)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg="no_n " + name)
+    # generic path: N run straddling j == 128
+    t2 = np.array(t)
+    t2[:, 124:132] = 4
+    ref, got = _run_chunked(q, t2, 128)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg="boundary-N " + name)
+
+
+def test_pallas_chunked_uneven_tail():
+    # Lt=320 with chunk 128 -> C=3, last chunk half pad; wrapper pads to
+    # 384 with code 4 and the pad-never-wins argument must hold
+    rng = np.random.default_rng(24)
+    qs = ["".join(rng.choice(list("ACGT"), 90)) for _ in range(4)]
+    ts = ["".join(rng.choice(list("ACGT"), 320)) for _ in range(4)]
+    ts[1] = ts[1][:230] + qs[1] + ts[1][230:]
+    ts[1] = ts[1][:320]  # hit runs into the final (padded) chunk
+    q = ReadBatch.from_seqs(qs, pad_to=128).codes
+    t = ReadBatch.from_seqs(ts, pad_to=320).codes
+    ref, got = _run_chunked(q, t, 128)
+    for name, a, b in zip(("score", "q_end", "t_end"), ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_chunked_shape_ok_and_auto_decision():
+    """Shapes where only chunking fits VMEM are now launchable; the
+    auto decision picks the chunked grid (Tc == _T_CHUNK) there and the
+    direct launch for in-budget shapes."""
+    from breakmer_tpu.ops.sw_pallas import _T_CHUNK, _pick_bb, pallas_shape_ok
+
+    # 1 Mbp target vs 512 query: direct launch blows VMEM at any block,
+    # the chunked grid fits comfortably
+    assert pallas_shape_ok(512, 1_000_000)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        _pick_bb(8, 512, 1_000_000, 4)
+    assert _pick_bb(8, 512, _T_CHUNK, 4, chunked=True) >= 8
+    # both-dims-huge still refuses (query dim is not chunked)
+    assert not pallas_shape_ok(32768, 65536)
+    # lex packing limit still enforced with the chunk-padded Lt
+    assert not pallas_shape_ok(1 << 14, (1 << 16) + (1 << 15))
+
+
 def test_auto_dispatch_runs_beyond_tier_shape():
     """A beyond-tier contig (pad_tier rounds past the largest tier) still
     produces correct scores through sw_score_auto (CPU here -> scan path;

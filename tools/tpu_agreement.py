@@ -66,6 +66,40 @@ def main():
                           f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
                     failures += 1
         print(f"ok {B}x({Lq}x{Lt}) generic+no_n")
+    # target-chunked long-DP path (SURVEY §2b blockwise/tiled DP):
+    # forced small chunks (C=4 over a 512 target, boundary-straddling
+    # hits) and the auto decision on a genuinely long target (Lt=8192:
+    # the direct launch is VMEM-starved to BB=64, auto picks the
+    # chunked grid at BB=128 — verified via _pick_bb)
+    from breakmer_tpu.ops.sw_pallas import _T_CHUNK, _pick_bb
+
+    for (B, Lq, Lt, chunk, tag) in [
+        (48, 128, 512, 128, "forced C=4"),
+        (16, 256, 1024, 256, "forced C=4 wide"),
+        (8, 512, 8192, None, "auto long"),
+    ]:
+        q = rng.integers(0, 4, (B, Lq), dtype=np.int8)
+        t = rng.integers(0, 4, (B, Lt), dtype=np.int8)
+        # hits straddling chunk boundaries + boundary N runs + ties
+        step = (chunk or _T_CHUNK)
+        for i, j0 in enumerate(range(step - Lq // 3, Lt - Lq, step)):
+            t[i % B, j0 : j0 + Lq // 2] = q[i % B, : Lq // 2]
+        t[1, step - 4 : step + 4] = 4
+        q[2] = q[2] % 2  # tie-heavy row
+        t[2] = t[2] % 2
+        want = tuple(np.asarray(x) for x in sw_score(
+            jnp.asarray(q), jnp.asarray(t), params))
+        got = tuple(np.asarray(x) for x in sw_score_pallas(
+            jnp.asarray(q), jnp.asarray(t), params,
+            target_chunk=chunk))
+        for label, a, b in zip(("score", "q_end", "t_end"), want, got):
+            if not np.array_equal(a, b):
+                bad = int(np.nonzero(a != b)[0][0])
+                print(f"MISMATCH chunked[{tag}] B{B} {Lq}x{Lt} {label} "
+                      f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
+                failures += 1
+        print(f"ok chunked[{tag}] {B}x({Lq}x{Lt})")
+    del _pick_bb
     if failures:
         print(f"FAILED: {failures} mismatches")
         return 1
