@@ -487,17 +487,29 @@ class GenomeIndex:
             "__cap__": np.array([self.max_hits_per_seed], dtype=np.int64),
             "__names__": np.array(self._chrom_names),
             "__chrom_off__": self._chrom_off,
-            # bucket counts compress far better than absolute offsets
-            "__bucket_counts__": np.diff(self._offsets).astype(np.uint32),
             "__positions__": self._positions,
         }
+        # bucket table: sparse (nonzero ids + counts) when panel-scale
+        # genomes leave most of the 4^k buckets empty, dense otherwise.
+        # Stored UNCOMPRESSED either way: deflate cost dominated load
+        # (~0.5 s inflating the zero-heavy dense table — as slow as
+        # rebuilding the panel index) and buys nothing on the
+        # entropy-dense positions array at genome scale.
+        counts = np.diff(self._offsets).astype(np.uint32)
+        nz = np.nonzero(counts)[0]
+        if 2 * len(nz) < len(counts):
+            arrays["__nb__"] = np.array([len(counts)], dtype=np.int64)
+            arrays["__bucket_nz__"] = nz.astype(np.uint32)
+            arrays["__bucket_nz_counts__"] = counts[nz]
+        else:
+            arrays["__bucket_counts__"] = counts
         for c in self._chrom_names:
             pc = self._packed[c]
             arrays[f"{c}::packed"] = pc.packed
             arrays[f"{c}::nstarts"] = pc.n_starts
             arrays[f"{c}::nends"] = pc.n_ends
             arrays[f"{c}::len"] = np.array([pc.length], dtype=np.int64)
-        np.savez_compressed(path, **arrays)
+        np.savez(path, **arrays)
 
     @classmethod
     def load(cls, path) -> "GenomeIndex":
@@ -513,7 +525,11 @@ class GenomeIndex:
         self.max_hits_per_seed = int(data["__cap__"][0])
         self._chrom_names = [str(n) for n in data["__names__"]]
         self._chrom_off = data["__chrom_off__"]
-        counts = data["__bucket_counts__"].astype(np.int64)
+        if "__bucket_nz__" in data.files:
+            counts = np.zeros(int(data["__nb__"][0]), dtype=np.int64)
+            counts[data["__bucket_nz__"].astype(np.int64)] = data["__bucket_nz_counts__"]
+        else:
+            counts = data["__bucket_counts__"].astype(np.int64)
         self._offsets = np.empty(len(counts) + 1, dtype=np.int64)
         self._offsets[0] = 0
         np.cumsum(counts, out=self._offsets[1:])
