@@ -55,6 +55,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nat_bam_decode.argtypes = (
         [ctypes.c_char_p, u64, u64] + [vp] * 16 + [u64] * 4
     )
+    lib.nat_sam_count.restype = ctypes.c_int
+    lib.nat_sam_count.argtypes = [
+        ctypes.c_char_p, u64, u64p, u64p, u64p, u64p,
+        vp, u64, u64p, u64p,
+    ]
+    lib.nat_sam_decode.restype = ctypes.c_int
+    lib.nat_sam_decode.argtypes = (
+        [ctypes.c_char_p, u64] + [vp] * 16 + [u64] * 4
+    )
     lib.nat_fastq_count.restype = ctypes.c_int
     lib.nat_fastq_count.argtypes = [ctypes.c_char_p, u64, u64p, u64p, u64p]
     lib.nat_fastq_decode.restype = ctypes.c_int
@@ -147,6 +156,72 @@ def bam_decode_columns(data: bytes, align_off: int) -> Optional[Dict[str, np.nda
         cigar_ops=cigar_ops, max_seq=MS, max_name=MN, max_cigar=MC,
     )
     return cols
+
+
+def sam_decode_columns(data: bytes):
+    """Decode SAM text into the same columnar arrays as
+    :func:`bam_decode_columns`, plus the ref-name table (first-appearance
+    order over rname/rnext). Returns (cols dict, ref_names list) or None
+    when native is unavailable or the text is malformed (callers keep the
+    io/sam.py record path as fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = ctypes.c_uint64()
+    mname = ctypes.c_uint64()
+    mseq = ctypes.c_uint64()
+    mcig = ctypes.c_uint64()
+    ref_cap = 1 << 22
+    ref_blob = ctypes.create_string_buffer(ref_cap)
+    ref_len = ctypes.c_uint64()
+    n_refs = ctypes.c_uint64()
+    rc = lib.nat_sam_count(
+        data, len(data),
+        ctypes.byref(n), ctypes.byref(mname), ctypes.byref(mseq),
+        ctypes.byref(mcig),
+        ref_blob, ref_cap, ctypes.byref(ref_len), ctypes.byref(n_refs),
+    )
+    if rc != 0:
+        return None
+    ref_names = (
+        ref_blob.raw[: ref_len.value].split(b"\x00")[:-1]
+        if ref_len.value else []
+    )
+    ref_names = [r.decode() for r in ref_names]
+    N, MN, MS, MC = n.value, mname.value, mseq.value, mcig.value
+    if N == 0:
+        return {"n": 0}, ref_names
+    cols = {
+        name: np.zeros(N, dtype=np.int32)
+        for name in (
+            "refid", "pos", "mapq", "flag", "next_refid", "next_pos",
+            "tlen", "lseq", "n_cigar", "clip_left", "clip_right", "ref_span",
+        )
+    }
+    seq_codes = np.zeros((N, MS), dtype=np.int8)
+    quals = np.zeros((N, MS), dtype=np.int8)
+    names = np.zeros((N, MN), dtype=np.uint8)
+    cigar_ops = np.zeros((N, MC), dtype=np.uint32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = lib.nat_sam_decode(
+        data, len(data),
+        p(cols["refid"]), p(cols["pos"]), p(cols["mapq"]), p(cols["flag"]),
+        p(cols["next_refid"]), p(cols["next_pos"]), p(cols["tlen"]),
+        p(cols["lseq"]), p(cols["n_cigar"]),
+        p(cols["clip_left"]), p(cols["clip_right"]), p(cols["ref_span"]),
+        p(seq_codes), p(quals), p(names), p(cigar_ops),
+        N, MN, MS, MC,
+    )
+    if rc != 0:
+        return None
+    cols.update(
+        n=N, seq_codes=seq_codes, quals=quals, names=names,
+        cigar_ops=cigar_ops, max_seq=MS, max_name=MN, max_cigar=MC,
+    )
+    return cols, ref_names
 
 
 def fastq_decode(data: bytes) -> Optional[Dict[str, np.ndarray]]:

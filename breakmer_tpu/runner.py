@@ -244,28 +244,40 @@ class Runner:
         not guarded by a lock; the per-region reads of the shared columns
         afterwards are read-only and thread-safe)."""
         cfg = self.cfg
-        if not (
-            cfg.preload_alignments
-            and str(cfg.sample_bam_file).endswith(".bam")
-        ):
+        path = str(cfg.sample_bam_file)
+        is_bam = path.endswith(".bam")
+        is_sam = path.endswith(".sam")
+        if not (cfg.preload_alignments and (is_bam or is_sam)):
             return False
         from breakmer_tpu import native
 
         if not native.available():
             return False
         if self._native_cols is None:
-            from breakmer_tpu.io.bam import BamReader
-
             t0 = time.time()
-            with METER.stage("bam_decode"):
-                reader = BamReader(cfg.sample_bam_file)
-                cols = native.bam_decode_columns(reader._data, reader._align_off)
-            if cols is None:
-                return False
-            self._native_cols = (cols, [n for n, _ in reader.refs])
+            if is_bam:
+                from breakmer_tpu.io.bam import BamReader
+
+                with METER.stage("bam_decode"):
+                    reader = BamReader(path)
+                    cols = native.bam_decode_columns(
+                        reader._data, reader._align_off
+                    )
+                if cols is None:
+                    return False
+                self._native_cols = (cols, [n for n, _ in reader.refs])
+            else:
+                # text SAM through the same columnar C++ decode (the
+                # per-line Python parse was ~25% of warm panel time)
+                with METER.stage("bam_decode"):
+                    out = native.sam_decode_columns(Path(path).read_bytes())
+                if out is None:
+                    return False
+                self._native_cols = out
             log.info(
-                "native BAM decode: %d records in %.1fs",
-                cols.get("n", 0), time.time() - t0,
+                "native %s decode: %d records in %.1fs",
+                "BAM" if is_bam else "SAM",
+                self._native_cols[0].get("n", 0), time.time() - t0,
             )
         return True
 

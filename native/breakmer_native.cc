@@ -17,6 +17,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
+#include <unordered_map>
 #include <vector>
 #include <zlib.h>
 
@@ -192,6 +194,232 @@ int nat_bam_decode(const uint8_t* data, uint64_t len, uint64_t align_off,
 
     off += 4 + block;
     i++;
+  }
+  return (int)(i == n ? 0 : -1);
+}
+
+// ---------------------------------------------------------------------------
+// SAM text decode — same columnar output as nat_bam_decode, so text SAM
+// input reaches the vectorized extractor (extract.extract_sv_reads_columnar)
+// instead of the per-line Python parser (io/sam.py parse_sam_line, whose
+// field conventions this mirrors exactly: pos/pnext 1-based -> 0-based,
+// rnext '=' resolved to rname, qual '*' -> the 40 sentinel the BAM path
+// uses for missing quals, seq '*' -> lseq 0).
+// ---------------------------------------------------------------------------
+
+static int8_t ascii_code(uint8_t c);  // defined in the FASTQ section below
+
+static inline int sam_cigar_op_idx(char op) {
+  switch (op) {
+    case 'M': return 0; case 'I': return 1; case 'D': return 2;
+    case 'N': return 3; case 'S': return 4; case 'H': return 5;
+    case 'P': return 6; case '=': return 7; case 'X': return 8;
+    default: return -1;
+  }
+}
+
+namespace {
+
+struct SamFields {
+  const char* f[11];
+  uint64_t fl[11];
+};
+
+// Split the first 11 tab-separated fields of [p, line_end). Returns false
+// on malformed lines (fewer than 11 fields).
+static bool sam_split(const char* p, const char* line_end, SamFields* out) {
+  for (int k = 0; k < 11; k++) {
+    if (p >= line_end && k < 11) return false;
+    const char* e = p;
+    while (e < line_end && *e != '\t') e++;
+    out->f[k] = p;
+    out->fl[k] = (uint64_t)(e - p);
+    if (k < 10) {
+      if (e >= line_end) return false;  // need a tab after fields 0..9
+      p = e + 1;
+    }
+  }
+  return true;
+}
+
+static inline int64_t sam_atoi(const char* p, uint64_t n) {
+  int64_t v = 0, sign = 1;
+  uint64_t i = 0;
+  if (n && (p[0] == '-' || p[0] == '+')) { sign = p[0] == '-' ? -1 : 1; i = 1; }
+  for (; i < n; i++) {
+    if (p[i] < '0' || p[i] > '9') break;
+    v = v * 10 + (p[i] - '0');
+  }
+  return sign * v;
+}
+
+// Deterministic first-appearance ref-name table over rname then rnext
+// per record ('*' skipped, '=' resolves to rname) — built identically in
+// the count and decode passes so refids always agree.
+struct RefTable {
+  std::unordered_map<std::string, int32_t> ids;
+  std::vector<std::string> names;
+  int32_t intern(const char* p, uint64_t n) {
+    if (n == 1 && p[0] == '*') return -1;
+    std::string s(p, n);
+    auto it = ids.find(s);
+    if (it != ids.end()) return it->second;
+    int32_t id = (int32_t)names.size();
+    ids.emplace(std::move(s), id);
+    names.push_back(std::string(p, n));
+    return id;
+  }
+};
+
+}  // namespace
+
+// Pass 1: count records and maxima; collect the ref-name table into
+// ref_blob as NUL-joined names (caller-allocated, ref_cap bytes).
+// Returns 0 ok, -1 malformed line, -2 ref blob too small.
+int nat_sam_count(const uint8_t* data, uint64_t len,
+                  uint64_t* n, uint64_t* max_name, uint64_t* max_seq,
+                  uint64_t* max_cigar,
+                  char* ref_blob, uint64_t ref_cap, uint64_t* ref_len,
+                  uint64_t* n_refs) {
+  const char* p = (const char*)data;
+  const char* end = p + len;
+  uint64_t cnt = 0, mn = 1, ms = 1, mc = 1;
+  RefTable refs;
+  SamFields fx;
+  while (p < end) {
+    const char* le = p;
+    while (le < end && *le != '\n') le++;
+    if (p < le && *p != '@') {
+      if (!sam_split(p, le, &fx)) return -1;
+      cnt++;
+      if (fx.fl[0] + 1 > mn) mn = fx.fl[0] + 1;
+      uint64_t sl = (fx.fl[9] == 1 && fx.f[9][0] == '*') ? 0 : fx.fl[9];
+      if (sl > ms) ms = sl;
+      uint64_t nc = 0;
+      if (!(fx.fl[5] == 1 && fx.f[5][0] == '*')) {
+        for (uint64_t i = 0; i < fx.fl[5]; i++)
+          if (fx.f[5][i] < '0' || fx.f[5][i] > '9') {
+            if (sam_cigar_op_idx(fx.f[5][i]) < 0) return -1;
+            nc++;
+          }
+      }
+      if (nc > mc) mc = nc;
+      int32_t rid = refs.intern(fx.f[2], fx.fl[2]);
+      if (fx.fl[6] == 1 && fx.f[6][0] == '=') {
+        (void)rid;
+      } else {
+        refs.intern(fx.f[6], fx.fl[6]);
+      }
+    }
+    p = le + 1;
+  }
+  uint64_t blob = 0;
+  for (const auto& s : refs.names) blob += s.size() + 1;
+  if (blob > ref_cap) return -2;
+  char* b = ref_blob;
+  for (const auto& s : refs.names) {
+    std::memcpy(b, s.data(), s.size());
+    b[s.size()] = 0;
+    b += s.size() + 1;
+  }
+  *ref_len = blob;
+  *n_refs = refs.names.size();
+  *n = cnt;
+  *max_name = mn;
+  *max_seq = ms;
+  *max_cigar = mc;
+  return 0;
+}
+
+// Pass 2: decode into the same caller-allocated columns as nat_bam_decode.
+int nat_sam_decode(const uint8_t* data, uint64_t len,
+                   int32_t* refid, int32_t* pos, int32_t* mapq, int32_t* flag,
+                   int32_t* next_refid, int32_t* next_pos, int32_t* tlen,
+                   int32_t* lseq, int32_t* n_cigar_out,
+                   int32_t* clip_left, int32_t* clip_right, int32_t* ref_span,
+                   int8_t* seq_codes, int8_t* quals, char* names,
+                   uint32_t* cigar_ops,
+                   uint64_t n, uint64_t max_name, uint64_t max_seq,
+                   uint64_t max_cigar) {
+  const char* p = (const char*)data;
+  const char* end = p + len;
+  uint64_t i = 0;
+  RefTable refs;
+  SamFields fx;
+  while (p < end && i <= n) {
+    const char* le = p;
+    while (le < end && *le != '\n') le++;
+    if (p < le && *p != '@') {
+      if (i >= n || !sam_split(p, le, &fx)) return -1;
+      int32_t rid = refs.intern(fx.f[2], fx.fl[2]);
+      int32_t nrid;
+      if (fx.fl[6] == 1 && fx.f[6][0] == '=')
+        nrid = rid;
+      else
+        nrid = refs.intern(fx.f[6], fx.fl[6]);
+      refid[i] = rid;
+      pos[i] = (int32_t)(sam_atoi(fx.f[3], fx.fl[3]) - 1);
+      mapq[i] = (int32_t)sam_atoi(fx.f[4], fx.fl[4]);
+      flag[i] = (int32_t)sam_atoi(fx.f[1], fx.fl[1]);
+      next_refid[i] = nrid;
+      next_pos[i] = (int32_t)(sam_atoi(fx.f[7], fx.fl[7]) - 1);
+      tlen[i] = (int32_t)sam_atoi(fx.f[8], fx.fl[8]);
+
+      uint64_t name_n = fx.fl[0] < max_name - 1 ? fx.fl[0] : max_name - 1;
+      std::memcpy(names + i * max_name, fx.f[0], name_n);
+      for (uint64_t b = name_n; b < max_name; b++) names[i * max_name + b] = 0;
+
+      // CIGAR
+      int32_t cl = 0, cr = 0, span = 0;
+      uint64_t nc = 0;
+      if (!(fx.fl[5] == 1 && fx.f[5][0] == '*')) {
+        uint64_t v = 0;
+        for (uint64_t c = 0; c < fx.fl[5]; c++) {
+          char ch = fx.f[5][c];
+          if (ch >= '0' && ch <= '9') {
+            v = v * 10 + (uint64_t)(ch - '0');
+          } else {
+            int op = sam_cigar_op_idx(ch);
+            if (op < 0 || nc >= max_cigar) return -1;
+            cigar_ops[i * max_cigar + nc] = (uint32_t)((v << 4) | (uint32_t)op);
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+              span += (int32_t)v;
+            if (op == 4) {
+              if (nc == 0) cl = (int32_t)v;
+              else cr = (int32_t)v;  // overwritten below unless last
+            }
+            nc++;
+            v = 0;
+          }
+        }
+        // mirror nat_bam_decode: only a LAST-op S counts as clip_right
+        if (nc > 0) {
+          uint32_t last = cigar_ops[i * max_cigar + nc - 1];
+          if ((last & 0xF) != 4) cr = 0;
+          if (nc == 1 && (last & 0xF) == 4) cr = 0;  // single-S: left only
+        }
+      }
+      n_cigar_out[i] = (int32_t)nc;
+      clip_left[i] = cl;
+      clip_right[i] = cr;
+      ref_span[i] = span;
+
+      // SEQ / QUAL
+      uint64_t L = (fx.fl[9] == 1 && fx.f[9][0] == '*') ? 0 : fx.fl[9];
+      if (L > max_seq) return -1;
+      lseq[i] = (int32_t)L;
+      int8_t* sc = seq_codes + i * max_seq;
+      for (uint64_t b = 0; b < L; b++) sc[b] = ascii_code((uint8_t)fx.f[9][b]);
+      for (uint64_t b = L; b < max_seq; b++) sc[b] = 4;
+      int8_t* qu = quals + i * max_seq;
+      bool no_qual = (fx.fl[10] >= 1 && fx.f[10][0] == '*' && fx.fl[10] == 1);
+      for (uint64_t b = 0; b < L; b++)
+        qu[b] = no_qual ? (int8_t)40
+                        : (b < fx.fl[10] ? (int8_t)(fx.f[10][b] - 33) : (int8_t)40);
+      for (uint64_t b = L; b < max_seq; b++) qu[b] = -1;
+      i++;
+    }
+    p = le + 1;
   }
   return (int)(i == n ? 0 : -1);
 }

@@ -156,6 +156,158 @@ def test_columnar_extraction_matches_record_path(tmp_path):
     assert g_col.pairs == g_rec.pairs
 
 
+def _sam_text(refs, records) -> bytes:
+    """Minimal SAM writer (fixtures.SamBuilder is genome-coupled)."""
+    lines = ["@HD\tVN:1.6\tSO:unknown"]
+    for name, ln in refs:
+        lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    for r in records:
+        cig = "".join(f"{n}{op}" for n, op in r.cigar) if r.cigar else "*"
+        qual = "".join(chr(q + 33) for q in r.qual) if r.qual else "*"
+        lines.append("\t".join([
+            r.qname, str(r.flag), r.rname, str(r.pos + 1), str(r.mapq),
+            cig, r.rnext, str(r.pnext + 1), str(r.tlen),
+            r.seq if r.seq else "*", qual,
+        ]))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def test_sam_decode_columns_matches_python(tmp_path):
+    """nat_sam_decode must reproduce io/sam.py parse_sam_line field for
+    field, including '=' rnext resolution, '*' qual/seq/rname, and
+    mid-read soft clips (clip_right only counts a LAST-op S, matching
+    SamRecord.soft_clips)."""
+    from breakmer_tpu.encode import encode_seq
+    from breakmer_tpu.io.sam import SamRecord, parse_cigar, read_sam
+
+    rng = np.random.default_rng(3)
+    refs = [("chr1", 100000), ("chr2", 5000)]
+    records = []
+    for i in range(60):
+        L = int(rng.integers(40, 90))
+        seq = "".join(rng.choice(list("ACGTN"), L))
+        kind = i % 6
+        if kind == 0:
+            cig = f"{L}M"
+        elif kind == 1:
+            cig = f"{L - 20}M20S"
+        elif kind == 2:
+            cig = f"15S{L - 15}M"
+        elif kind == 3:
+            cig = f"20M10S{L - 30}M"  # mid-S: clip_right must stay 0
+        elif kind == 4:
+            cig = f"{L - 30}M10D10I20M" if L >= 50 else f"{L}M"
+        else:
+            cig = ""
+        flag = int(rng.integers(0, 4096)) & ~0x4 if kind != 5 else 0x4
+        records.append(SamRecord(
+            f"read{i}", flag,
+            "chr1" if kind != 5 else "*",
+            int(rng.integers(0, 9000)) if kind != 5 else -1,
+            60, parse_cigar(cig),
+            ("=" if i % 4 == 0 else ("chr2" if i % 5 == 0 else "chr1"))
+            if kind != 5 else "*",
+            int(rng.integers(0, 4000)), int(rng.integers(-500, 500)),
+            seq, [] if i % 7 == 0 else [int(x) for x in rng.integers(2, 41, L)],
+        ))
+    path = tmp_path / "t.sam"
+    path.write_bytes(_sam_text(refs, records))
+
+    out = native.sam_decode_columns(path.read_bytes())
+    assert out is not None
+    cols, ref_names = out
+    assert cols["n"] == 60
+    py = list(read_sam(path))
+    for i, rec in enumerate(py):
+        assert cols["pos"][i] == rec.pos
+        assert cols["flag"][i] == rec.flag
+        assert cols["mapq"][i] == rec.mapq
+        assert cols["tlen"][i] == rec.tlen
+        assert cols["lseq"][i] == len(rec.seq)
+        assert cols["next_pos"][i] == rec.pnext
+        rid = cols["refid"][i]
+        assert (ref_names[rid] if rid >= 0 else "*") == rec.rname
+        nrid = cols["next_refid"][i]
+        assert (ref_names[nrid] if nrid >= 0 else "*") == rec.rnext
+        left, right = rec.soft_clips()
+        assert cols["clip_left"][i] == left
+        assert cols["clip_right"][i] == right
+        assert cols["ref_span"][i] == rec.reference_end() - rec.pos
+        np.testing.assert_array_equal(
+            cols["seq_codes"][i, : len(rec.seq)], encode_seq(rec.seq)
+        )
+        if rec.qual:
+            assert list(cols["quals"][i, : len(rec.qual)]) == rec.qual
+        else:
+            assert (cols["quals"][i, : len(rec.seq)] == 40).all()
+        name = bytes(cols["names"][i]).split(b"\x00")[0].decode()
+        assert name == rec.qname
+
+
+def test_columnar_extraction_from_sam_matches_record_path(tmp_path):
+    """The SAM-text native path must feed extract_sv_reads_columnar to the
+    same byte-identical results as the record path — the runner now routes
+    .sam input through nat_sam_decode."""
+    from breakmer_tpu.config import Config
+    from breakmer_tpu.extract import (
+        extract_sv_reads,
+        extract_sv_reads_columnar,
+        global_discordant_pairs,
+        global_discordant_pairs_columnar,
+    )
+    from breakmer_tpu.io.sam import SamRecord, parse_cigar, read_sam
+
+    rng = np.random.default_rng(11)
+    refs = [("chr1", 50000), ("chr2", 50000)]
+
+    def rec(i, flag, cigar, pos, rnext="*", pnext=-1, tlen=0):
+        L = 100
+        seq = "".join(rng.choice(list("ACGT"), L))
+        qual = [int(x) for x in rng.integers(2, 41, L)]
+        return SamRecord(f"r{i}", flag, "chr1", pos, 60, parse_cigar(cigar),
+                         rnext, pnext, tlen, seq, qual)
+
+    records = []
+    for i in range(60):
+        kind = i % 6
+        pos = 1000 + i * 17
+        if kind == 0:
+            records.append(rec(i, 0, "100M", pos))
+        elif kind == 1:
+            records.append(rec(i, 0, "55M45S", pos))
+        elif kind == 2:
+            records.append(rec(i, 0x1 | 0x20, "100M", pos,
+                               rnext="chr2", pnext=3000 + i))
+        elif kind == 3:
+            records.append(rec(i, 0x1 | 0x8 | 0x40, "100M", pos))
+        elif kind == 4:
+            records.append(rec(i, 0x4, "", pos))
+        else:
+            records.append(rec(i, 0x400, "60M40S", pos))
+    path = tmp_path / "mix.sam"
+    path.write_bytes(_sam_text(refs, records))
+
+    out = native.sam_decode_columns(path.read_bytes())
+    assert out is not None
+    cols, ref_names = out
+    region = ("chr1", 900, 2500)
+    for cfg in (Config(), Config(clip_coverage=True)):
+        ref_out = extract_sv_reads(read_sam(path, region=region), region, cfg)
+        col_out = extract_sv_reads_columnar(cols, ref_names, region, cfg)
+        assert col_out.n_records == ref_out.n_records
+        assert col_out.n_sv_reads == ref_out.n_sv_reads
+        assert col_out.batch.names == ref_out.batch.names
+        for i in range(len(ref_out.batch)):
+            assert col_out.batch.seq(i) == ref_out.batch.seq(i)
+        assert col_out.disc.pairs == ref_out.disc.pairs
+        np.testing.assert_array_equal(col_out.coverage, ref_out.coverage)
+
+    g_rec = global_discordant_pairs(read_sam(path), Config())
+    g_col = global_discordant_pairs_columnar(cols, ref_names, Config())
+    assert len(g_rec) > 0
+    assert g_col.pairs == g_rec.pairs
+
+
 def test_pack_2bit_matches_numpy():
     from breakmer_tpu.encode import pack_2bit as np_pack
 
