@@ -70,12 +70,17 @@ class _Growing:
     vote) matrix over an integer coordinate axis that may extend in both
     directions. Vectorized — the per-base dict loop was a measured hot
     spot of the warm panel path; semantics unchanged (uncovered positions
-    decode to N, argmax ties pick the smaller base code)."""
+    decode to N, argmax ties pick the smaller base code). The per-row
+    argmax is maintained INCREMENTALLY: each add_read re-derives only the
+    rows it voted on (counts never decrease, so untouched rows cannot
+    change), replacing the full-matrix argmax the old consensus() ran
+    after every single read placement."""
 
-    __slots__ = ("counts", "lo")
+    __slots__ = ("counts", "out", "lo")
 
     def __init__(self):
         self.counts = np.zeros((0, 4), dtype=np.int32)  # rows: lo..lo+span
+        self.out = np.zeros(0, dtype=np.int8)           # per-row argmax (4=uncovered)
         self.lo = 0  # contig coordinate of counts[0]
 
     def add_read(self, codes: np.ndarray, offset: int) -> None:
@@ -86,35 +91,45 @@ class _Growing:
         if len(self.counts) == 0:
             self.lo = offset
             self.counts = np.zeros((n, 4), dtype=np.int32)
+            self.out = np.full(n, 4, dtype=np.int8)
         else:
             grow_left = self.lo - offset
             if grow_left > 0:
                 self.counts = np.vstack(
                     [np.zeros((grow_left, 4), dtype=np.int32), self.counts]
                 )
+                self.out = np.r_[np.full(grow_left, 4, dtype=np.int8), self.out]
                 self.lo = offset
             grow_right = (offset + n) - (self.lo + len(self.counts))
             if grow_right > 0:
                 self.counts = np.vstack(
                     [self.counts, np.zeros((grow_right, 4), dtype=np.int32)]
                 )
+                self.out = np.r_[self.out, np.full(grow_right, 4, dtype=np.int8)]
         real = codes < 4
         pos = (offset - self.lo) + np.nonzero(real)[0]
         np.add.at(self.counts, (pos, codes[real].astype(np.intp)), 1)
+        # re-derive the touched rows (argmax tie -> smaller base code,
+        # np.argmax picks the first max; all rows here are now covered)
+        a, b = int(pos[0]), int(pos[-1]) + 1
+        seg = self.counts[a:b]
+        self.out[a:b] = np.where(
+            seg.any(axis=1), np.argmax(seg, axis=1), 4
+        ).astype(np.int8)
 
-    def consensus(self) -> Tuple[str, int]:
-        """(consensus string, start coordinate). Gaps in coverage (possible
-        only transiently) become N."""
+    def consensus(self) -> Tuple[np.ndarray, int]:
+        """(consensus base codes, start coordinate). Gaps in coverage
+        (possible only transiently) stay code 4 (N)."""
         if len(self.counts) == 0:
-            return "", 0
-        covered = self.counts.any(axis=1)
-        # argmax with tie -> smaller base code (np.argmax picks first max)
-        out = np.where(covered, np.argmax(self.counts, axis=1), 4).astype(np.int8)
+            return np.zeros(0, dtype=np.int8), 0
+        covered = self.out < 4
         # trim leading/trailing uncovered coordinates (the dict version
         # only spanned covered min..max)
         nz = np.nonzero(covered)[0]
+        if not len(nz):
+            return np.zeros(0, dtype=np.int8), 0
         lo_i, hi_i = int(nz[0]), int(nz[-1])
-        return decode_seq(out[lo_i : hi_i + 1]), self.lo + lo_i
+        return self.out[lo_i : hi_i + 1], self.lo + lo_i
 
 
 def _build_postings(
@@ -151,10 +166,10 @@ for _ch, _cc in zip(b"ACGT", range(4)):
     _ENC_LUT[_ch] = _cc
 
 
-def _consensus_kmers(consensus: str, k: int) -> "np.ndarray":
-    """(codes, positions) of all valid kmers of the consensus — vectorized
-    rolling evaluation (replaces per-kmer str scans in the grow loop)."""
-    codes = _ENC_LUT[np.frombuffer(consensus.encode(), dtype=np.uint8)]
+def _consensus_kmers(codes: np.ndarray, k: int) -> "np.ndarray":
+    """(codes, positions) of all valid kmers of a consensus base-code
+    array — vectorized rolling evaluation (replaces per-kmer str scans
+    in the grow loop)."""
     n = len(codes) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
@@ -220,7 +235,7 @@ def assemble(
         placed_set: set = set()
         queue = deque([seed_code])
         queued = {seed_code}
-        consensus = ""
+        consensus = np.zeros(0, dtype=np.int8)  # base codes; str only at finalize
         cons_start = 0
         cons_kpos: Dict[int, int] = {}  # kmer code -> first consensus pos
         # seed read: first hit in deterministic order, anchored at its kmer
@@ -248,14 +263,12 @@ def assemble(
             length = int(batch.lengths[read_idx])
             codes = batch.codes[read_idx, :length]
             offset = contig_kpos - read_kpos
-            if consensus:
+            if len(consensus):
                 # verify agreement over the overlap with current consensus
                 c_lo = max(cons_start, offset)
                 c_hi = min(cons_start + len(consensus), offset + length)
                 if c_hi > c_lo:
-                    cseg = _ENC_LUT[
-                        np.frombuffer(consensus.encode(), dtype=np.uint8)
-                    ][c_lo - cons_start : c_hi - cons_start]
+                    cseg = consensus[c_lo - cons_start : c_hi - cons_start]
                     rseg = codes[c_lo - offset : c_hi - offset]
                     ov = c_hi - c_lo
                     if _mismatches(cseg, rseg) > max(2, int(max_read_mismatch_frac * ov)):
@@ -290,19 +303,20 @@ def assemble(
             for cr in placed:
                 read_used.add(cr.index)
             base = cons_start
+            fk_codes, _ = _consensus_kmers(consensus, k)
             contigs.append(
                 Contig(
                     id=f"{contig_id_prefix}{len(contigs) + 1}",
-                    seq=consensus,
+                    seq=decode_seq(consensus),
                     reads=[
                         ContigRead(cr.name, cr.index, cr.offset - base, cr.length)
                         for cr in placed
                     ],
+                    # all sample-only kmers of the consensus, in scan order
+                    # with duplicates kept (same as the per-position str
+                    # scan this replaces)
                     kmers=[
-                        kmer_ops.str_to_kmer(consensus[i : i + k])
-                        for i in range(len(consensus) - k + 1)
-                        if "N" not in consensus[i : i + k]
-                        and kmer_ops.str_to_kmer(consensus[i : i + k]) in sample_only
+                        int(c) for c in fk_codes.tolist() if c in sample_only
                     ],
                 )
             )

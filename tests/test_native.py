@@ -308,6 +308,34 @@ def test_columnar_extraction_from_sam_matches_record_path(tmp_path):
     assert g_col.pairs == g_rec.pairs
 
 
+def test_sam_decode_rejects_malformed_gracefully():
+    """Malformed SAM must return None (caller falls back to the Python
+    record path), never crash or misparse."""
+    cases = [
+        b"read1\t0\tchr1\t100\n",                      # too few fields
+        b"read1\t0\tchr1\t100\t60\t10Q\t*\t0\t0\tACGT\t!!!!\n",  # bad cigar op
+        b"@HD only a header\n@SQ\tSN:chr1\tLN:100\n",  # headers only -> 0 records
+        b"",                                            # empty
+    ]
+    out = native.sam_decode_columns(cases[0])
+    assert out is None
+    out = native.sam_decode_columns(cases[1])
+    assert out is None
+    out = native.sam_decode_columns(cases[2])
+    assert out is not None and out[0]["n"] == 0
+    out = native.sam_decode_columns(cases[3])
+    assert out is not None and out[0]["n"] == 0
+    # random binary garbage: any outcome but a crash/misparse is fine —
+    # either None (malformed) or a decode that round-trips its own counts
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(1, 400)), dtype=np.uint8))
+        res = native.sam_decode_columns(blob)
+        if res is not None:
+            cols, _ = res
+            assert cols["n"] >= 0
+
+
 def test_pack_2bit_matches_numpy():
     from breakmer_tpu.encode import pack_2bit as np_pack
 
