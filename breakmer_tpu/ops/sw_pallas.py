@@ -97,18 +97,23 @@ def pallas_shape_ok(Lq: int, Lt: int, itemsize: int = 4) -> bool:
     """True iff this (Lq, Lt) can launch at all: the floor block fits the
     VMEM budget — directly, or via the target-chunked grid when Lt alone
     is what breaks the budget — and the lex position packing fits int32.
-    Dispatchers (ops.sw.sw_score_auto) route to the XLA scan oracle when
-    False instead of blowing VMEM (VERDICT r1 weak #4)."""
+    Each launch form is checked against ITS OWN packing bound (the direct
+    launch does not pad Lt to the chunk width). Dispatchers
+    (ops.sw.sw_score_auto) route to the XLA scan oracle when False
+    instead of blowing VMEM (VERDICT r1 weak #4)."""
     floor = 16 if itemsize == 2 else 8
     lqp = 1 << (max(Lq, 1) - 1).bit_length()
-    lt_pad = -(-Lt // _T_CHUNK) * _T_CHUNK if Lt > _T_CHUNK else Lt
-    if (Lq + lt_pad) * lqp >= 2 ** 30:
-        return False
-    return (
+    direct_ok = (
         _block_need(floor, Lq, Lt, itemsize) <= _VMEM_BUDGET
-        or _block_need(floor, Lq, min(Lt, _T_CHUNK), itemsize, chunked=True)
-        <= _VMEM_BUDGET
+        and (Lq + Lt) * lqp < 2 ** 30
     )
+    lt_pad = -(-Lt // _T_CHUNK) * _T_CHUNK
+    chunk_ok = (
+        _block_need(floor, Lq, min(Lt, _T_CHUNK), itemsize, chunked=True)
+        <= _VMEM_BUDGET
+        and (Lq + lt_pad) * lqp < 2 ** 30
+    )
+    return direct_ok or chunk_ok
 
 
 def _pick_bb(b: int, Lq: int, Lt: int, itemsize: int, chunked: bool = False) -> int:
@@ -127,6 +132,34 @@ def _pick_bb(b: int, Lq: int, Lt: int, itemsize: int, chunked: bool = False) -> 
         f"VMEM budget even at the minimum block ({floor}); use the XLA scan "
         f"path (ops.sw.sw_score) for this shape — see pallas_shape_ok."
     )
+
+
+def _choose_chunk(b: int, Lq: int, Lt: int, itemsize: int) -> int:
+    """Auto chunk-width decision: direct (Tc == Lt) when it fits VMEM at
+    a block size no smaller than the chunked grid would get, else
+    ``_T_CHUNK``-wide chunks. EITHER probe may fail its VMEM floor
+    (huge-Lq shapes fit direct but not 10-state chunked; huge-Lt shapes
+    the reverse) — a failed probe only disqualifies that form. Raises
+    only when neither form fits."""
+    bb_direct = bb_chunk = 0
+    if Lt <= _T_CHUNK:
+        return Lt  # chunking cannot help (one chunk == direct, more state)
+    try:
+        bb_direct = _pick_bb(b, Lq, Lt, itemsize)
+    except ValueError:
+        pass
+    try:
+        bb_chunk = _pick_bb(b, Lq, _T_CHUNK, itemsize, chunked=True)
+    except ValueError:
+        pass
+    if bb_direct == 0 and bb_chunk == 0:
+        raise ValueError(
+            f"SW pallas shape Lq={Lq}, Lt={Lt} exceeds the "
+            f"{_VMEM_BUDGET >> 20} MiB VMEM budget at the minimum block in "
+            f"both the direct and the target-chunked form; use the XLA "
+            f"scan path (ops.sw.sw_score) — see pallas_shape_ok."
+        )
+    return Lt if bb_direct >= bb_chunk else _T_CHUNK
 
 
 def _roll_lanes(x: jax.Array, shift: int) -> jax.Array:
@@ -379,15 +412,7 @@ def sw_score_pallas(
     # the chunked path would get (chunking costs ~(C-1)*Lq extra steps +
     # 3 tail-phase ops; a starved block size costs more)
     if target_chunk is None:
-        if Lt > _T_CHUNK:
-            try:
-                bb_direct = _pick_bb(B, Lq, Lt, itemsize)
-            except ValueError:
-                bb_direct = 0
-            bb_chunk = _pick_bb(B, Lq, _T_CHUNK, itemsize, chunked=True)
-            Tc = Lt if bb_direct >= bb_chunk else _T_CHUNK
-        else:
-            Tc = Lt
+        Tc = _choose_chunk(B, Lq, Lt, itemsize)
     else:
         if target_chunk % 128:
             raise ValueError("target_chunk must be a multiple of 128")

@@ -287,8 +287,11 @@ int nat_sam_count(const uint8_t* data, uint64_t len,
   RefTable refs;
   SamFields fx;
   while (p < end) {
+    // universal newlines like the Python text-mode fallback: '\n',
+    // '\r\n' and lone '\r' all terminate a line (a bare '\r' left in
+    // the QUAL field would corrupt it into a phantom -20 score)
     const char* le = p;
-    while (le < end && *le != '\n') le++;
+    while (le < end && *le != '\n' && *le != '\r') le++;
     if (p < le && *p != '@') {
       if (!sam_split(p, le, &fx)) return -1;
       cnt++;
@@ -348,7 +351,7 @@ int nat_sam_decode(const uint8_t* data, uint64_t len,
   SamFields fx;
   while (p < end && i <= n) {
     const char* le = p;
-    while (le < end && *le != '\n') le++;
+    while (le < end && *le != '\n' && *le != '\r') le++;  // universal newlines
     if (p < le && *p != '@') {
       if (i >= n || !sam_split(p, le, &fx)) return -1;
       int32_t rid = refs.intern(fx.f[2], fx.fl[2]);

@@ -308,6 +308,24 @@ def test_columnar_extraction_from_sam_matches_record_path(tmp_path):
     assert g_col.pairs == g_rec.pairs
 
 
+def test_sam_decode_crlf_matches_python_text_mode():
+    """CRLF (and lone-CR) line endings must decode exactly like the
+    Python fallback, which reads in universal-newline text mode — a bare
+    \\r left in the QUAL field would otherwise corrupt it into a phantom
+    -20 score and break the '*' missing-qual sentinel."""
+    rec = "r1\t0\tchr1\t100\t60\t4M\t*\t0\t0\tACGT\t*"
+    rec2 = "r2\t0\tchr1\t200\t60\t4M\t*\t0\t0\tACGT\tIIII"
+    for sep in ("\r\n", "\r"):
+        blob = (sep.join(["@SQ\tSN:chr1\tLN:1000", rec, rec2]) + sep).encode()
+        out = native.sam_decode_columns(blob)
+        assert out is not None
+        cols, ref_names = out
+        assert cols["n"] == 2 and ref_names == ["chr1"]
+        assert (cols["quals"][0, :4] == 40).all()            # '*' sentinel
+        assert list(cols["quals"][1, :4]) == [40, 40, 40, 40]  # 'I'-33
+        assert cols["lseq"].tolist() == [4, 4]
+
+
 def test_sam_decode_rejects_malformed_gracefully():
     """Malformed SAM must return None (caller falls back to the Python
     record path), never crash or misparse."""

@@ -250,6 +250,28 @@ def test_chunked_shape_ok_and_auto_decision():
     assert not pallas_shape_ok(1 << 14, (1 << 16) + (1 << 15))
 
 
+def test_chunk_decision_survives_one_sided_probe_failures():
+    """The auto decision must not die when only ONE launch form fits the
+    VMEM floor: huge-Lq shapes fit direct but not the 10-state chunked
+    probe (and vice versa); only both-infeasible raises. And
+    pallas_shape_ok must judge the direct form by ITS OWN (unpadded)
+    int32 packing bound."""
+    from breakmer_tpu.ops.sw_pallas import _T_CHUNK, _choose_chunk, pallas_shape_ok
+
+    # direct fits (8.85 MB), chunked probe would exceed (10.76 MB):
+    # decision must pick direct instead of raising
+    assert _choose_chunk(64, 30000, 2176, 4) == 2176
+    assert pallas_shape_ok(30000, 2176)
+    # chunked fits, direct doesn't: picks the chunk width
+    assert _choose_chunk(8, 512, 1_000_000, 4) == _T_CHUNK
+    # neither fits: raises (and shape_ok is False)
+    with pytest.raises(ValueError, match="both"):
+        _choose_chunk(8, 32768, 65536, 4)
+    # direct launch passes its own packing bound even though the
+    # chunk-rounded bound would be exactly 2^30 (r2 review finding)
+    assert pallas_shape_ok(16384, 48000)
+
+
 def test_auto_dispatch_runs_beyond_tier_shape():
     """A beyond-tier contig (pad_tier rounds past the largest tier) still
     produces correct scores through sw_score_auto (CPU here -> scan path;

@@ -70,8 +70,8 @@ def main():
     # forced small chunks (C=4 over a 512 target, boundary-straddling
     # hits) and the auto decision on a genuinely long target (Lt=8192:
     # the direct launch is VMEM-starved to BB=64, auto picks the
-    # chunked grid at BB=128 — verified via _pick_bb)
-    from breakmer_tpu.ops.sw_pallas import _T_CHUNK, _pick_bb
+    # chunked grid at BB=128)
+    from breakmer_tpu.ops.sw_pallas import _T_CHUNK
 
     for (B, Lq, Lt, chunk, tag) in [
         (48, 128, 512, 128, "forced C=4"),
@@ -99,7 +99,6 @@ def main():
                       f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
                 failures += 1
         print(f"ok chunked[{tag}] {B}x({Lq}x{Lt})")
-    del _pick_bb
     if failures:
         print(f"FAILED: {failures} mismatches")
         return 1
