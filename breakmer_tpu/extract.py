@@ -185,11 +185,16 @@ def extract_sv_reads_columnar(
     covered = ~um & ~secondary
     ccl = cols["clip_left"][idx] if cfg.clip_coverage else np.zeros(len(idx), np.int64)
     ccr = cols["clip_right"][idx] if cfg.clip_coverage else np.zeros(len(idx), np.int64)
-    for i in np.nonzero(covered)[0]:
-        lo = max(0, int(p[i]) - int(ccl[i]) - start)
-        hi = min(end - start, int(p[i]) + int(sp[i]) + int(ccr[i]) - start)
-        if hi > lo:
-            cov[lo:hi] += 1
+    # interval-stabbing depth: +1/-1 boundary marks then cumsum (the
+    # per-record python slice loop was most of this function's time)
+    clo = np.maximum(0, p[covered] - ccl[covered] - start)
+    chi = np.minimum(end - start, p[covered] + sp[covered] + ccr[covered] - start)
+    ok = chi > clo
+    if ok.any():
+        bound = np.zeros(len(cov) + 1, dtype=np.int32)
+        np.add.at(bound, clo[ok], 1)
+        np.add.at(bound, chi[ok], -1)
+        cov += np.cumsum(bound[:-1], dtype=np.int32)
     considered = ~secondary & ~dup
     paired = (f & 0x1) != 0
     mate_unmapped = (f & 0x8) != 0
