@@ -190,6 +190,85 @@ def _piece_between(
     return Alignment(max(score, 0), q0, qq, t0, tt, merged, matches, mismatches)
 
 
+def _max_score_trim(
+    aln: Alignment, q: np.ndarray, t: np.ndarray, params: SWParams
+) -> Optional[Alignment]:
+    """Trim an alignment to its maximum-scoring sub-path (Kadane over the
+    per-column score deltas; gaps are atomic units).
+
+    A genuine Smith-Waterman local alignment can never begin or end with
+    a net-negative stretch — the DP would have cut it. Pieces produced by
+    splitting a larger alignment lose that invariant: a split boundary is
+    not an alignment endpoint, so a piece can keep a gap-riddled random
+    threading glued to its good block (measured: a 96-match flank
+    dragging 58 junk query bases at net -20, which then STEAL those bases
+    from the true inverted segment of the next masking round). Restoring
+    the invariant here is exact and deterministic (ties: earliest start,
+    then earliest end). Returns None when nothing positive remains."""
+    if not aln.ops:
+        return None
+    # expand the path into atomic units: M per base, I/D per op
+    deltas: List[int] = []
+    units: List[Tuple[str, int]] = []  # (op, length consumed by this unit)
+    qpos, tpos = aln.q_start, aln.t_start
+    for op, ln in aln.ops:
+        if op == "M":
+            eq = np.asarray(q[qpos : qpos + ln]) == np.asarray(t[tpos : tpos + ln])
+            deltas.extend(
+                int(params.match) if e else -int(params.mismatch) for e in eq
+            )
+            units.extend(("M", 1) for _ in range(ln))
+            qpos += ln
+            tpos += ln
+        else:
+            deltas.append(-(params.gap_open + params.gap_extend * ln))
+            units.append((op, ln))
+    # Kadane, deterministic: strict > keeps the earliest maximal window
+    best, best_a, best_b = 0, -1, -1
+    cur, cur_a = 0, 0
+    for i, d in enumerate(deltas):
+        if cur <= 0:
+            cur, cur_a = d, i
+        else:
+            cur += d
+        if cur > best:
+            best, best_a, best_b = cur, cur_a, i
+    if best <= 0:
+        return None
+    if best_a == 0 and best_b == len(deltas) - 1:
+        return aln  # already maximal — the common case for real segments
+    # rebuild ops and coordinates over units [best_a, best_b]
+    q0, t0 = aln.q_start, aln.t_start
+    for (op, ln) in units[:best_a]:
+        if op == "M":
+            q0 += ln
+            t0 += ln
+        elif op == "I":
+            q0 += ln
+        else:
+            t0 += ln
+    ops: List[Tuple[str, int]] = []
+    qq, tt = q0, t0
+    matches = mismatches = 0
+    for (op, ln) in units[best_a : best_b + 1]:
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + ln)
+        else:
+            ops.append((op, ln))
+        if op == "M":  # M units are single bases
+            if q[qq] == t[tt]:
+                matches += 1
+            else:
+                mismatches += 1
+            qq += ln
+            tt += ln
+        elif op == "I":
+            qq += ln
+        else:
+            tt += ln
+    return Alignment(best, q0, qq, t0, tt, ops, matches, mismatches)
+
+
 def split_alignment(
     aln: Alignment,
     q: np.ndarray,
@@ -238,6 +317,11 @@ def split_alignment(
         if gi == len(groups) - 1 and aln.q_end - qe <= max_q_gap:
             qe = aln.q_end
         piece = _piece_between(aln, q, t, params, qs, qe)
+        if piece is not None:
+            # split boundaries are not alignment endpoints, so a piece can
+            # carry a net-negative junk tail glued to its good block —
+            # restore the local-alignment invariant (see _max_score_trim)
+            piece = _max_score_trim(piece, q, t, params)
         if piece is not None:
             out.append(piece)
     return out if out else [aln]

@@ -246,6 +246,64 @@ def test_split_alignment_cuts_anchor_free_junk_bridge():
         assert p.matches / (p.matches + p.mismatches) > 0.95
 
 
+def test_split_pieces_trimmed_to_max_score_core():
+    """A split piece must not keep a net-negative junk tail glued to its
+    good block (r2 48-seed sweep failure: the '+' whole-contig alignment
+    of an inversion bridged the inverted middle, and the split piece kept
+    ~58 junk query bases past the junction — stealing them from the '-'
+    inversion segment of the next masked round). After _max_score_trim,
+    each piece ends where its running score peaks."""
+    import numpy as np
+
+    from breakmer_tpu.align.traceback import split_alignment, traceback_align
+    from breakmer_tpu.ops.sw import SWParams
+    from breakmer_tpu.encode import revcomp_codes
+
+    rng = np.random.default_rng(105)
+    flank_a = rng.integers(0, 4, 96, dtype=np.int8)
+    mid = rng.integers(0, 4, 127, dtype=np.int8)
+    flank_c = rng.integers(0, 4, 97, dtype=np.int8)
+    t = np.concatenate([flank_a, mid, flank_c])
+    q = np.concatenate([flank_a, revcomp_codes(mid), flank_c])  # inversion
+    params = SWParams()
+    aln = traceback_align(q, t, params)
+    pieces = split_alignment(aln, q, t, params)
+    if len(pieces) == 1:
+        # the DP chose a clean 2-segment shape for this seed; the property
+        # sweep covers the bridging shape — nothing to assert here
+        return
+    # no piece may extend meaningfully past its flank into the inverted
+    # middle (a few bases of edge wobble from chance matches are fine)
+    assert pieces[0].q_end <= 96 + 8, pieces[0].q_end
+    assert pieces[-1].q_start >= 96 + 127 - 8, pieces[-1].q_start
+
+
+def test_inversion_middle_segment_recovered_full_length():
+    """End-to-end realign of an inversion contig: the '-' middle segment
+    must span the full inverted interval, not the leftover after a junk
+    bridge stole part of it (r2 sweep seeds 105/126)."""
+    import numpy as np
+
+    from breakmer_tpu.align.realign import RegionRef, realign_contig
+    from breakmer_tpu.encode import revcomp_codes
+    from breakmer_tpu.ops.sw import SWParams
+
+    rng = np.random.default_rng(105)
+    ref = rng.integers(0, 4, 1800, dtype=np.int8)
+    mid, size = 900, 127
+    contig = np.concatenate([
+        ref[mid - 96 : mid], revcomp_codes(ref[mid : mid + size]),
+        ref[mid + size : mid + size + 97],
+    ])
+    rr = RegionRef.build("chr1", 0, ref)
+    segs = realign_contig(contig, rr, params=SWParams())
+    minus = [s for s in segs if s.strand == "-"]
+    assert minus, [(s.q_start, s.q_end, s.strand) for s in segs]
+    m = minus[0]
+    assert m.t_start <= mid + 4 and m.t_end >= mid + size - 4, (
+        m.t_start, m.t_end, mid, mid + size)
+
+
 def test_split_alignment_keeps_real_deletion_and_divergent_segment():
     import numpy as np
 
