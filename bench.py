@@ -151,8 +151,10 @@ def bench_region_step(device) -> dict:
     t_long = run(ITERS * 4)
     dt = max((t_long - t_short) / (ITERS * 3), 1e-9)
     return {
-        "regions_per_s": G / dt,
-        "reads_per_s": G * R / dt,
+        # device microbench of the jitted region step ONLY (no host stages,
+        # no IO) — NOT e2e panel throughput; see bench_panel.py for that.
+        "device_step_regions_per_s": G / dt,
+        "device_step_reads_per_s": G * R / dt,
         "region_step_ms": dt * 1e3,
     }
 

@@ -107,6 +107,10 @@ class _Growing:
                 )
                 self.out = np.r_[self.out, np.full(grow_right, 4, dtype=np.int8)]
         real = codes < 4
+        if not real.any():
+            # a read contributing zero non-N bases has nothing to vote on
+            # (placed reads are kmer-anchored so this is defensive only)
+            return
         pos = (offset - self.lo) + np.nonzero(real)[0]
         np.add.at(self.counts, (pos, codes[real].astype(np.intp)), 1)
         # re-derive the touched rows (argmax tie -> smaller base code,

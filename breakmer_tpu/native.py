@@ -10,6 +10,7 @@ C consumed with ctypes (SURVEY.md §7 environment notes).
 from __future__ import annotations
 
 import ctypes
+import logging
 import subprocess
 from pathlib import Path
 from typing import Dict, Optional
@@ -158,6 +159,12 @@ def bam_decode_columns(data: bytes, align_off: int) -> Optional[Dict[str, np.nda
     return cols
 
 
+# initial buffer for the NUL-joined SAM reference-name table; on overflow
+# nat_sam_count returns -2 with the required size in ref_len and we retry
+# once (module-level so tests can shrink it to exercise the retry)
+_SAM_REF_CAP = 1 << 22
+
+
 def sam_decode_columns(data: bytes):
     """Decode SAM text into the same columnar arrays as
     :func:`bam_decode_columns`, plus the ref-name table (first-appearance
@@ -171,7 +178,7 @@ def sam_decode_columns(data: bytes):
     mname = ctypes.c_uint64()
     mseq = ctypes.c_uint64()
     mcig = ctypes.c_uint64()
-    ref_cap = 1 << 22
+    ref_cap = _SAM_REF_CAP
     ref_blob = ctypes.create_string_buffer(ref_cap)
     ref_len = ctypes.c_uint64()
     n_refs = ctypes.c_uint64()
@@ -181,7 +188,22 @@ def sam_decode_columns(data: bytes):
         ctypes.byref(mcig),
         ref_blob, ref_cap, ctypes.byref(ref_len), ctypes.byref(n_refs),
     )
+    if rc == -2 and ref_len.value > ref_cap:
+        # ref-name table exceeded the default 4 MiB buffer; nat_sam_count
+        # reports the exact size needed in ref_len — retry once sized to it
+        ref_cap = int(ref_len.value)
+        ref_blob = ctypes.create_string_buffer(ref_cap)
+        rc = lib.nat_sam_count(
+            data, len(data),
+            ctypes.byref(n), ctypes.byref(mname), ctypes.byref(mseq),
+            ctypes.byref(mcig),
+            ref_blob, ref_cap, ctypes.byref(ref_len), ctypes.byref(n_refs),
+        )
     if rc != 0:
+        logging.getLogger("breakmer").warning(
+            "native SAM columnar decode unavailable (nat_sam_count rc=%d); "
+            "falling back to per-line Python parse", rc,
+        )
         return None
     ref_names = (
         ref_blob.raw[: ref_len.value].split(b"\x00")[:-1]

@@ -318,7 +318,10 @@ int nat_sam_count(const uint8_t* data, uint64_t len,
   }
   uint64_t blob = 0;
   for (const auto& s : refs.names) blob += s.size() + 1;
-  if (blob > ref_cap) return -2;
+  if (blob > ref_cap) {
+    *ref_len = blob;  // tell the caller the size needed so it can retry
+    return -2;
+  }
   char* b = ref_blob;
   for (const auto& s : refs.names) {
     std::memcpy(b, s.data(), s.size());

@@ -401,3 +401,26 @@ def test_native_sw_traceback_matches_python():
                     a.matches, a.mismatches, a.ops) == \
                    (b.score, b.q_start, b.q_end, b.t_start, b.t_end,
                     b.matches, b.mismatches, b.ops)
+
+
+def test_sam_decode_ref_table_overflow_retries(monkeypatch):
+    """A SAM whose reference-name table exceeds the initial blob buffer
+    must transparently retry with a buffer sized from nat_sam_count's
+    reported ref_len — not silently fall back to the slow Python parse
+    (ADVICE r2: native.py fixed 4 MiB cap)."""
+    if native._load() is None:
+        pytest.skip("native lib unavailable")
+    # many unique rnames so the NUL-joined table is > the shrunken cap
+    recs = []
+    for i in range(64):
+        recs.append(
+            f"r{i}\t0\tcontig_{i:04d}_{'x' * 40}\t100\t60\t4M\t*\t0\t0"
+            f"\tACGT\tIIII"
+        )
+    blob = ("\n".join(recs) + "\n").encode()
+    monkeypatch.setattr(native, "_SAM_REF_CAP", 64)  # force the -2 path
+    out = native.sam_decode_columns(blob)
+    assert out is not None
+    cols, ref_names = out
+    assert cols["n"] == 64
+    assert len(ref_names) == 64 and ref_names[0].startswith("contig_0000")
