@@ -28,6 +28,129 @@ def rand_seq(seed: int, n: int) -> str:
 
 
 @dataclasses.dataclass
+class ErrorModel:
+    """Illumina-like sequencing-error model (VERDICT r2 missing #1).
+
+    Per-base substitution rate ramping from 0.5x the mean at the 5' end to
+    2x at the 3' end (mean ``sub_rate``), occasional 1-2 bp indel errors,
+    and quality strings correlated with the errors: baseline quality decays
+    linearly ``q_start`` -> ``q_end`` across the read with +-2 jitter;
+    substituted bases get a low quality (Q8-Q20) except a ``miscalibrated``
+    fraction that keeps the baseline (undetectable miscalls)."""
+
+    sub_rate: float = 0.008
+    indel_rate: float = 0.0004
+    q_start: int = 38
+    q_end: int = 27
+    miscalibrated: float = 0.15
+
+
+_CIG_NUM = "0123456789"
+
+
+def _expand_cigar(cigar: str) -> List[Tuple[int, str]]:
+    out, n = [], 0
+    for ch in cigar:
+        if ch in _CIG_NUM:
+            n = n * 10 + ord(ch) - 48
+        else:
+            out.append((n, ch))
+            n = 0
+    return out
+
+
+def apply_errors(
+    seq: str, cigar: str, rng: random.Random, em: ErrorModel
+) -> Tuple[str, str, str]:
+    """Corrupt one read with the error model; returns (seq, cigar, qual).
+
+    CIGAR surgery keeps the alignment the one a real aligner would emit for
+    the corrupted read: substitutions leave it unchanged, an inserted error
+    base inside an M run becomes 1I (inside S/I it extends that op), a
+    deleted read base inside an M run becomes 1D (leading/trailing D is
+    folded into POS by the caller's convention of never deleting the first
+    or last aligned base — such errors are skipped instead)."""
+    L = len(seq)
+    if L == 0 or seq == "*":
+        return seq, cigar, "*"
+    aligned = cigar not in ("*", "")
+    # items: ["b", base_char, op] per read base, interleaved with
+    # ["D", count] for reference-only ops; H/P dropped (fixtures never
+    # emit them)
+    items: List[list] = []
+    if aligned:
+        i = 0
+        for n, op in _expand_cigar(cigar):
+            if op in "MIS=X":
+                for _ in range(n):
+                    items.append(["b", seq[i], op])
+                    i += 1
+            elif op == "D":
+                items.append(["D", n])
+    else:
+        items = [["b", c, "M"] for c in seq]
+
+    # pass 1: substitutions + per-base quality (ramped rate, 0.5x -> 2x)
+    quals: List[int] = []
+    base_idx = 0
+    out_items: List[list] = []
+    n_bases = sum(1 for it in items if it[0] == "b")
+    for it in items:
+        if it[0] == "D":
+            out_items.append(it)
+            continue
+        frac = base_idx / max(n_bases - 1, 1)
+        q = em.q_start + (em.q_end - em.q_start) * frac + rng.randint(-2, 2)
+        rate = em.sub_rate * (0.5 + 1.5 * frac)
+        if rng.random() < rate:
+            it = ["b", rng.choice([b for b in "ACGT" if b != it[1]]), it[2]]
+            if rng.random() >= em.miscalibrated:
+                q = rng.randint(8, 20)
+        out_items.append(it + [int(max(2, min(41, q)))])
+        base_idx += 1
+    # pass 2: indel errors (1-2 bp), never touching the first/last read base
+    items = out_items
+    final: List[list] = []
+    for pos, it in enumerate(items):
+        if it[0] == "D" or pos == 0 or pos == len(items) - 1:
+            final.append(it)
+            continue
+        if rng.random() < em.indel_rate:
+            width = rng.randint(1, 2)
+            if rng.random() < 0.5:
+                # inserted error bases (low qual); op I inside M, else same
+                op = "I" if it[2] == "M" else it[2]
+                final.append(it)
+                for _ in range(width):
+                    final.append(["b", rng.choice("ACGT"), op,
+                                  rng.randint(8, 20)])
+            else:
+                # deleted read base: M -> 1D marker, S/I -> just dropped
+                if it[2] == "M":
+                    final.append(["D", 1])
+                # (width>1 deletions collapse to 1 here to keep the
+                # never-delete-the-last-base guard simple)
+        else:
+            final.append(it)
+
+    new_seq = "".join(it[1] for it in final if it[0] == "b")
+    qual = "".join(chr(33 + it[3]) for it in final if it[0] == "b")
+    if not aligned:
+        return new_seq, cigar, qual
+    # recompress ops -> cigar (merge adjacent runs; adjacent D's sum)
+    runs: List[list] = []
+    for it in final:
+        op = "D" if it[0] == "D" else it[2]
+        n = it[1] if it[0] == "D" else 1
+        if runs and runs[-1][1] == op:
+            runs[-1][0] += n
+        else:
+            runs.append([n, op])
+    new_cigar = "".join(f"{n}{op}" for n, op in runs)
+    return new_seq, new_cigar, qual
+
+
+@dataclasses.dataclass
 class RefBlock:
     chrom: str
     start: int
@@ -107,13 +230,25 @@ def sam_record_for_read(
 
 
 class SamBuilder:
-    def __init__(self, genome: Dict[str, str]):
+    def __init__(
+        self,
+        genome: Dict[str, str],
+        error_model: Optional[ErrorModel] = None,
+        error_seed: int = 0,
+    ):
         self.genome = genome
         self.lines: List[str] = []
         self._n = 0
+        self.error_model = error_model
+        self._err_rng = random.Random(error_seed)
 
     def _add(self, qname, flag, rname, pos0, mapq, cigar, rnext, pnext0, tlen, seq):
-        qual = "I" * len(seq) if seq != "*" else "*"
+        if self.error_model is not None and seq != "*":
+            seq, cigar, qual = apply_errors(
+                seq, cigar, self._err_rng, self.error_model
+            )
+        else:
+            qual = "I" * len(seq) if seq != "*" else "*"
         self.lines.append(
             "\t".join(
                 [

@@ -12,7 +12,14 @@ from breakmer_tpu.config import Config
 from breakmer_tpu.io.fasta import write_fasta
 from breakmer_tpu.report import event_row, read_svs_out
 from breakmer_tpu.runner import Runner
-from tests.fixtures import Haplotype, NovelBlock, RefBlock, SamBuilder, rand_seq
+from tests.fixtures import (
+    ErrorModel,
+    Haplotype,
+    NovelBlock,
+    RefBlock,
+    SamBuilder,
+    rand_seq,
+)
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +43,9 @@ def panel(tmp_path_factory):
         for chrom, s, e, name in targets:
             fh.write(f"{chrom}\t{s}\t{e}\t{name}\n")
 
-    sam = SamBuilder(genome)
+    # reads carry the realistic sequencing-error model (VERDICT r2 #1):
+    # the exact-call assertions below must hold on NOISY reads
+    sam = SamBuilder(genome, error_model=ErrorModel(), error_seed=42)
     INS = "TTGACCATGGATCCGGTACAT"  # 21bp novel insertion @ chr1:1300
     hap1 = Haplotype(genome, [
         RefBlock("chr1", 1000, 1300), NovelBlock(INS), RefBlock("chr1", 1300, 1600),
