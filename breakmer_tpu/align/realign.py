@@ -301,10 +301,325 @@ def _realign_contigs(
             # pass 2 and later consult the genome (reference gfClient leg)
             wk.use_genome = genome is not None
     out = []
-    for wk in works:
+    for wk, (codes0, _region) in zip(works, contigs):
         wk.segments.sort(key=lambda s: (s.q_start, s.q_end))
+        _refine_boundaries(
+            np.asarray(codes0, dtype=np.int8), wk.segments, wk.region,
+            genome, params,
+        )
         out.append(wk.segments)
     return out
+
+
+_REFINE_W = 12  # max junction slide, bases
+
+
+def _refine_ref(region: RegionRef, genome, chrom: str, a: int, b: int):
+    """Reference codes for [a, b) on chrom, or None when unavailable —
+    served from the region cache when in range, else the genome index."""
+    if a < 0 or b <= a:
+        return None
+    if (
+        chrom == region.chrom
+        and a >= region.start
+        and b <= region.start + len(region.codes)
+    ):
+        return region.codes[a - region.start : b - region.start]
+    if genome is not None:
+        try:
+            if b <= genome.length(chrom):
+                got = genome.fetch_codes(chrom, a, b)
+                if len(got) == b - a:
+                    return got
+        except KeyError:
+            return None
+    return None
+
+
+def _eq_profile(
+    codes0: np.ndarray, seg: AlignSegment, side: str, b0: int,
+    lo: int, hi: int, region: RegionRef, genome,
+) -> Optional[np.ndarray]:
+    """For forward-contig positions j in [lo, hi): does contig[j] match the
+    reference base it would pair with under a GAPLESS extension/shrink of
+    ``seg`` across the junction at b0?  side='right' = the junction is at
+    seg.q_end (b0 == seg.q_end); side='left' = at seg.q_start."""
+    n = hi - lo
+    j = np.arange(lo, hi)
+    if seg.strand == "+":
+        # forward j pairs with t = anchor + (j - b0)
+        anchor = seg.t_end if side == "right" else seg.t_start
+        t_lo, t_hi = anchor + (lo - b0), anchor + (hi - b0)
+        ref = _refine_ref(region, genome, seg.chrom, t_lo, t_hi)
+        if ref is None:
+            return None
+        want = ref
+    else:
+        # '-' strand: forward j pairs with t = anchor - 1 - (j - b0),
+        # complemented (anchor = t_start at the q_end side, t_end at q_start)
+        anchor = seg.t_start if side == "right" else seg.t_end
+        t_lo, t_hi = anchor - (hi - b0), anchor - (lo - b0)
+        ref = _refine_ref(region, genome, seg.chrom, t_lo, t_hi)
+        if ref is None:
+            return None
+        want = 3 - ref[::-1]  # reverse-complement onto forward-j order
+    q = codes0[lo:hi]
+    return (q == want) & (q < 4) & (want >= 0) & (want < 4)
+
+
+def _edge_m_len(aln: Alignment, edge: str) -> int:
+    op, ln = aln.ops[0] if edge == "head" else aln.ops[-1]
+    return ln if op == "M" else 0
+
+
+def _grow_edge(aln: Alignment, edge: str, delta: int) -> None:
+    idx = 0 if edge == "head" else -1
+    op, ln = aln.ops[idx]
+    aln.ops[idx] = (op, ln + delta)
+
+
+def _apply_boundary_move(
+    seg: AlignSegment, side: str, delta: int, eq: np.ndarray,
+    lo: int, b0: int, params: SWParams,
+) -> None:
+    """Move seg's junction-side query boundary by ``delta`` forward-contig
+    bases (positive = junction moves right), updating genomic coords, the
+    window-local alignment (coords + edge M run), and match/score tallies.
+    The move is gapless by construction (guards checked by the caller)."""
+    if delta == 0:
+        return
+    if side == "right":
+        moved = eq[b0 - lo : b0 - lo + delta] if delta > 0 else \
+            eq[b0 - lo + delta : b0 - lo]
+        gain = 1 if delta > 0 else -1
+        seg.q_end += delta
+        edge = "tail" if seg.strand == "+" else "head"
+        if seg.strand == "+":
+            seg.t_end += delta
+            seg.alignment.q_end += delta
+            seg.alignment.t_end += delta
+        else:
+            seg.t_start -= delta
+            seg.alignment.q_start -= delta
+            seg.alignment.t_start -= delta
+    else:
+        moved = eq[b0 - lo : b0 - lo + delta] if delta > 0 else \
+            eq[b0 - lo + delta : b0 - lo]
+        gain = -1 if delta > 0 else 1
+        seg.q_start += delta
+        edge = "head" if seg.strand == "+" else "tail"
+        if seg.strand == "+":
+            seg.t_start += delta
+            seg.alignment.q_start += delta
+            seg.alignment.t_start += delta
+        else:
+            seg.t_end -= delta
+            seg.alignment.q_end -= delta
+            seg.alignment.t_end -= delta
+    m = int(np.sum(moved))
+    mm = len(moved) - m
+    seg.matches += gain * m
+    seg.mismatches += gain * mm
+    seg.score += gain * (m * params.match - mm * params.mismatch)
+    seg.alignment.matches += gain * m
+    seg.alignment.mismatches += gain * mm
+    seg.alignment.score += gain * (m * params.match - mm * params.mismatch)
+    _grow_edge(seg.alignment, edge, gain * len(moved))
+
+
+def _run_eq(
+    codes0: np.ndarray, seg: AlignSegment, side: str, m: int,
+    region: RegionRef, genome,
+) -> Optional[np.ndarray]:
+    """eq per base of the junction-side terminal M run (length m) of
+    ``seg``'s alignment: side='right' = the run ending at seg.q_end,
+    side='left' = the run starting at seg.q_start (forward coords)."""
+    if side == "right":
+        q_lo, q_hi = seg.q_end - m, seg.q_end
+        t_lo, t_hi = (
+            (seg.t_end - m, seg.t_end) if seg.strand == "+"
+            else (seg.t_start, seg.t_start + m)
+        )
+    else:
+        q_lo, q_hi = seg.q_start, seg.q_start + m
+        t_lo, t_hi = (
+            (seg.t_start, seg.t_start + m) if seg.strand == "+"
+            else (seg.t_end - m, seg.t_end)
+        )
+    ref = _refine_ref(region, genome, seg.chrom, t_lo, t_hi)
+    if ref is None:
+        return None
+    want = ref if seg.strand == "+" else (3 - ref[::-1])
+    q = codes0[q_lo:q_hi]
+    return (q == want) & (q < 4) & (want >= 0) & (want < 4)
+
+
+def _try_pop_gap_overrun(
+    codes0: np.ndarray, seg: AlignSegment, side: str, other: AlignSegment,
+    region: RegionRef, genome, params: SWParams,
+) -> bool:
+    """Undo a junction gap-overrun: when ``seg``'s junction-side alignment
+    ends [..., gap, M-run<=W], SW accepted the short run because it nets a
+    couple of points past a gap — but those query bases usually belong to
+    ``other`` (they continue ITS reference past the junction with full
+    matches). Pop the run+gap off seg and extend other gaplessly iff total
+    SW score strictly improves. Returns True if applied."""
+    aln = seg.alignment
+    if len(aln.ops) < 3:
+        return False
+    # junction-side edge in oriented alignment coords
+    edge = (
+        "tail" if (seg.strand == "+") == (side == "right") else "head"
+    )
+    if edge == "tail":
+        (g_op, g_len), (m_op, m_len) = aln.ops[-2], aln.ops[-1]
+    else:
+        (m_op, m_len), (g_op, g_len) = aln.ops[0], aln.ops[1]
+    if m_op != "M" or g_op not in ("I", "D") or m_len > _REFINE_W:
+        return False
+    q_freed = m_len + (g_len if g_op == "I" else 0)
+    t_freed = m_len + (g_len if g_op == "D" else 0)
+    # seg must keep at least one query base and its inner op stays M
+    if seg.q_end - seg.q_start <= q_freed:
+        return False
+    # score delta of removing the run + gap from seg
+    run_eq = _run_eq(codes0, seg, side, m_len, region, genome)
+    if run_eq is None:
+        return False
+    # other's junction edge must be an M run (gapless growth target)
+    o_edge = (
+        ("head" if other.strand == "+" else "tail") if side == "right"
+        else ("tail" if other.strand == "+" else "head")
+    )
+    if _edge_m_len(other.alignment, o_edge) == 0:
+        return False
+    m_hit = int(np.sum(run_eq))
+    m_miss = m_len - m_hit
+    d_seg = (
+        -(m_hit * params.match - m_miss * params.mismatch)
+        + params.gap_open + g_len * params.gap_extend
+    )
+    # other absorbs the freed FORWARD-contig query bases gaplessly
+    if side == "right":
+        # other extends left from its q_start by q_freed
+        b0o = other.q_start
+        lo, hi = b0o - q_freed, b0o
+        eq_o = _eq_profile(codes0, other, "left", b0o, lo, hi, region, genome)
+        delta_o, o_side = -q_freed, "left"
+    else:
+        b0o = other.q_end
+        lo, hi = b0o, b0o + q_freed
+        eq_o = _eq_profile(codes0, other, "right", b0o, lo, hi, region, genome)
+        delta_o, o_side = q_freed, "right"
+    if eq_o is None:
+        return False
+    o_hit = int(np.sum(eq_o))
+    d_other = o_hit * params.match - (q_freed - o_hit) * params.mismatch
+    if d_seg + d_other <= 0:
+        return False
+    # ---- apply: pop seg's run+gap ----------------------------------------
+    if edge == "tail":
+        aln.ops = aln.ops[:-2]
+        aln.q_end -= q_freed
+        aln.t_end -= t_freed
+    else:
+        aln.ops = aln.ops[2:]
+        aln.q_start += q_freed
+        aln.t_start += t_freed
+    aln.matches -= m_hit
+    aln.mismatches -= m_miss
+    aln.score += d_seg
+    seg.matches -= m_hit
+    seg.mismatches -= m_miss
+    seg.score += d_seg
+    if side == "right":
+        seg.q_end -= q_freed
+        if seg.strand == "+":
+            seg.t_end -= t_freed
+        else:
+            seg.t_start += t_freed
+    else:
+        seg.q_start += q_freed
+        if seg.strand == "+":
+            seg.t_start += t_freed
+        else:
+            seg.t_end -= t_freed
+    # ---- extend other over the freed bases (gapless) ---------------------
+    _apply_boundary_move(
+        other, o_side, delta_o, eq_o, lo,
+        b0o, params,
+    )
+    return True
+
+
+def _refine_boundaries(
+    codes0: np.ndarray,
+    segments: List[AlignSegment],
+    region: RegionRef,
+    genome,
+    params: SWParams,
+) -> None:
+    """Slide each abutting split-junction boundary to the gapless split
+    that maximizes total reference matches (ties -> smallest move).
+
+    Why: masked requery accepts segments greedily, so near-homologous
+    junction context lets the FIRST-found piece overclaim a few query
+    bases (its max-score core extends through 2-of-3-matching bases) and
+    the mask then truncates the other piece — a systematic few-bp
+    breakpoint bias on tandem-dup/deletion/inversion junctions that the
+    round-3 noisy-read sweep exposed (ACCURACY_r03: dup recall 69%% before
+    this pass). The reference's blat picks among overlapping PSL rows and
+    has the same ambiguity; left-normalizing to the max-match split is our
+    pinned parity rule."""
+    for s1, s2 in zip(segments, segments[1:]):
+        if s2.q_start != s1.q_end:
+            continue  # gap junction (inserted bases) — nothing to slide
+        # first undo small gap-overruns on either side of the junction
+        for _ in range(2):
+            popped = _try_pop_gap_overrun(
+                codes0, s1, "right", s2, region, genome, params
+            ) | _try_pop_gap_overrun(
+                codes0, s2, "left", s1, region, genome, params
+            )
+            if not popped:
+                break
+        b0 = s1.q_end
+        # gapless guards: shrinking an alignment must stay inside its
+        # junction-side M run; growth is always gapless
+        s1_edge = "tail" if s1.strand == "+" else "head"
+        s2_edge = "head" if s2.strand == "+" else "tail"
+        max_left = min(
+            _REFINE_W, b0 - (s1.q_start + 1),
+            _edge_m_len(s1.alignment, s1_edge) - 1,
+        )
+        max_right = min(
+            _REFINE_W, (s2.q_end - 1) - b0,
+            _edge_m_len(s2.alignment, s2_edge) - 1,
+        )
+        if max_left < 0 or max_right < 0 or max_left + max_right == 0:
+            continue
+        lo, hi = b0 - max_left, b0 + max_right
+        eq1 = _eq_profile(codes0, s1, "right", b0, lo, hi, region, genome)
+        eq2 = _eq_profile(codes0, s2, "left", b0, lo, hi, region, genome)
+        if eq1 is None or eq2 is None:
+            continue
+        # total(b) = matches of [lo,b) on s1 + [b,hi) on s2, b in [lo,hi]
+        c1 = np.concatenate([[0], np.cumsum(eq1)])
+        c2 = np.concatenate([[0], np.cumsum(eq2)])
+        totals = c1 + (c2[-1] - c2)
+        base = totals[b0 - lo]
+        best_b, best_total = b0, base
+        for b in range(lo, hi + 1):
+            t = totals[b - lo]
+            if t > best_total or (
+                t == best_total and abs(b - b0) < abs(best_b - b0)
+            ):
+                best_b, best_total = b, t
+        delta = best_b - b0
+        if delta == 0:
+            continue
+        _apply_boundary_move(s1, "right", delta, eq1, lo, b0, params)
+        _apply_boundary_move(s2, "left", delta, eq2, lo, b0, params)
 
 
 def realign_contig(

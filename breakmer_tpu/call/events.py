@@ -50,6 +50,9 @@ class SVEvent:
     contig_seq: str
     segments: List[AlignSegment] = dataclasses.field(default_factory=list)
     filter_reason: Optional[str] = None
+    # forward-contig junction coordinates (the breakpoint positions inside
+    # contig_seq) — drives the junction-windowed germline normal recheck
+    junction_q: List[int] = dataclasses.field(default_factory=list)
 
     def breakpoints_str(self) -> str:
         out = []
@@ -115,6 +118,7 @@ def _indel_events(
                 contig_id=contig.id,
                 contig_seq=contig.seq,
                 segments=[seg],
+                junction_q=[f_lo, f_hi],
             )
         )
     for q_pos, t_pos, ln in aln.t_gaps:  # deletions
@@ -143,6 +147,7 @@ def _indel_events(
                 contig_id=contig.id,
                 contig_seq=contig.seq,
                 segments=[seg],
+                junction_q=[jq],
             )
         )
     return events
@@ -193,6 +198,7 @@ def _junction_event(
         contig_id=contig.id,
         contig_seq=contig.seq,
         segments=[a, b],
+        junction_q=[lo, hi],
     )
     cov = [coverage_at(*bp1), coverage_at(*bp2)]
     if a.chrom != b.chrom:
@@ -314,6 +320,7 @@ def classify_contig(
                 contig_id=contig.id,
                 contig_seq=contig.seq,
                 segments=list(segments),
+                junction_q=[segments[0].q_end, segments[1].q_end],
             )
         )
         return events

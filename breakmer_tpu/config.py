@@ -40,6 +40,22 @@ class Config:
     # --- k-mer engine (reference: utils.py run_jellyfish + target.compare_kmers)
     kmer_size: int = 15            # reference default k=15
     min_kmer_count: int = 2        # drop count-1 sample kmers (reconstructed)
+    # contig-level germline recheck vs the matched normal (r3): the raw-read
+    # k-mer subtraction is defeated when two sample reads share one
+    # sequencing error (a count-2 error k-mer absent from the normal recruits
+    # the germline junction reads); the assembled consensus is the clean
+    # germline sequence, so recheck ITS novel k-mers against the normal.
+    # An event is germline when >= min novel k-mers are normal-present AND
+    # they are >= frac of all novel k-mers (the frac guard keeps somatic
+    # contigs that merely overlap a germline SNP).
+    germline_kmer_min: int = 3
+    germline_kmer_frac: float = 0.5
+    # edit-tolerant fallback when k-mer evidence is inconclusive (the leaked
+    # contig's consensus carries the error-sharing reads' other errors): a
+    # normal read aligning >= window-slack bases of the junction window at
+    # >= this identity proves the normal carries the junction adjacency
+    germline_sw_identity: float = 0.85
+    germline_sw_slack: int = 4
 
     # --- read extraction (reference: target.extract_bam_reads) ------------
     min_clip_len: int = 3          # min soft-clip length to keep (reconstructed)

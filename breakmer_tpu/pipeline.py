@@ -207,6 +207,91 @@ class TargetPipeline:
             return self.global_coverage_at(chrom, pos)
         return 0
 
+    def _germline_event_reason(self, ev: SVEvent, tables) -> Optional[str]:
+        """Junction-windowed germline recheck vs the matched normal: the
+        raw-read k-mer subtraction is defeated when two sample reads share
+        one sequencing error (see Config.germline_kmer_min rationale), but
+        the assembled CONSENSUS is the clean germline sequence — so test
+        whether the novel k-mers SPANNING THIS EVENT'S JUNCTION are carried
+        by the normal. Windowing to the junction (deeply covered contig
+        interior) keeps tail consensus errors and unrelated germline SNPs
+        elsewhere in the contig from diluting the signal."""
+        cfg = self.cfg
+        if not ev.junction_q:
+            return None
+        from breakmer_tpu.encode import encode_seq
+        from breakmer_tpu.ops.kmer import novel_kmer_normal_support
+
+        ref_table, normal_table = tables
+        k = cfg.kmer_size
+        pad = k - 1
+        lo = max(0, min(ev.junction_q) - pad)
+        hi = min(len(ev.contig_seq), max(ev.junction_q) + pad)
+        window = ev.contig_seq[lo:hi]
+        if len(window) < k:
+            return None
+        n_novel, n_in = novel_kmer_normal_support(
+            encode_seq(window), ref_table, normal_table, k
+        )
+        if (
+            n_in >= cfg.germline_kmer_min
+            and n_novel > 0
+            and n_in / n_novel >= cfg.germline_kmer_frac
+        ):
+            return f"germline_kmer_support:{n_in}/{n_novel}"
+        if n_in == 0:
+            return None  # no normal evidence at all: clearly somatic
+        # Inconclusive k-mer evidence: when the leaked contig was assembled
+        # from only the error-sharing reads, ITS consensus carries their
+        # other errors and exact k-mer membership under-counts. Confirm
+        # edit-tolerantly: a normal read aligning (near) the FULL junction
+        # window at high identity proves the normal carries the junction
+        # adjacency (germline); somatic junctions align only one flank.
+        return self._germline_sw_confirm(window, n_in, n_novel)
+
+    def _germline_sw_confirm(
+        self, window: str, n_in: int, n_novel: int
+    ) -> Optional[str]:
+        from breakmer_tpu.align.traceback import traceback_align
+        from breakmer_tpu.encode import encode_seq, revcomp_codes
+
+        cfg = self.cfg
+        normal = self.normal_batch
+        w = encode_seq(window)
+        need_span = len(w) - cfg.germline_sw_slack
+        for q in (w, revcomp_codes(w)):
+            for i in range(len(normal)):
+                aln = traceback_align(q, normal.codes[i][: normal.lengths[i]],
+                                      self.sw_params())
+                span = aln.q_end - aln.q_start
+                if span < need_span:
+                    continue
+                ident = (
+                    aln.matches / (aln.matches + aln.mismatches)
+                    if aln.matches + aln.mismatches else 0.0
+                )
+                if ident >= cfg.germline_sw_identity:
+                    return (
+                        f"germline_normal_align:{ident:.3f}@{span}"
+                        f"(kmers {n_in}/{n_novel})"
+                    )
+        return None
+
+    def _germline_tables(self):
+        cfg = self.cfg
+        normal = self.normal_batch
+        if normal is None or not len(normal):
+            return None
+        from breakmer_tpu.ops.kmer import kmer_table
+
+        k = cfg.kmer_size
+        ref_table = kmer_table(
+            self.region_ref.codes.reshape(1, -1),
+            np.asarray([len(self.region_ref.codes)], dtype=np.int32), k,
+        )
+        normal_table = kmer_table(normal.codes, normal.lengths, k)
+        return ref_table, normal_table
+
     def classify_contigs(self, segs_per_contig) -> RegionResult:
         cfg = self.cfg
         result = self._empty_result()
@@ -232,6 +317,16 @@ class TargetPipeline:
                 result.all_events, cfg, rmask=self.rmask, target=self.target,
                 user_filter=self.user_filter,
             )
+            tables = self._germline_tables() if result.events else None
+            if tables is not None:
+                kept = []
+                for ev in result.events:
+                    reason = self._germline_event_reason(ev, tables)
+                    if reason is not None:
+                        ev.filter_reason = reason
+                    else:
+                        kept.append(ev)
+                result.events = kept
         return result
 
     def resolve_sv(self) -> RegionResult:

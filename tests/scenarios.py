@@ -205,7 +205,10 @@ def plant_sv(
                                 step=4, prefix=f"{gene}r")
         sam.add_discordant_pairs("chr1", mid, "chr2", p2, n=5,
                                  prefix=f"{gene}d")
-        h = _homology(g[:mid], g2[:p2])
+        # junction slides left where g1/g2 suffixes agree, right where
+        # their continuations agree (g1[mid:mid+j] == g2[p2:p2+j])
+        h = _homology(g[:mid], g2[:p2]) + _homology(
+            g[mid:mid + 40][::-1], g2[p2:p2 + 40][::-1])
         tol = 3 + h
 
         def check(evs):
