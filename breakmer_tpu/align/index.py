@@ -337,35 +337,65 @@ class GenomeIndex:
         self._build_table(total)
 
     def _build_table(self, total: int) -> None:
+        """Two streaming passes (capped bucket counts, counting-sort fill),
+        THREADED ACROSS CHROMOSOMES (r3, VERDICT r2 next #5): numpy
+        releases the GIL in bincount/argsort/gather/scatter, so a small
+        thread pool scales the build on multi-core hosts. Output is
+        byte-identical to the serial build: per-chrom counts are exact,
+        summation order over chroms is pinned, and pass-2 threads write
+        disjoint slots (each chrom's slots are pre-reserved via its
+        predecessors' capped counts — the rolling ``base`` below), so
+        thread timing cannot reorder anything."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         nb = 1 << (2 * self.k)
         cap = self.max_hits_per_seed if self.max_hits_per_seed > 0 else (1 << 62)
-        counts = np.zeros(nb, dtype=np.int64)
-        raw = np.empty(nb, dtype=np.int64)
-        # pass 1: per-chrom capped bucket counts
-        for name in self._chrom_names:
+        names = self._chrom_names
+        nthreads = max(1, min(len(names), os.cpu_count() or 1))
+        cdtype = np.uint16 if cap <= 0xFFFF else np.int64
+
+        # pass 1: per-chrom capped bucket counts (one bincount per chrom
+        # over its concatenated chunk codes — 16x less bucket-array
+        # traffic than per-chunk bincounts at the default chunk width)
+        def chrom_counts(name: str) -> np.ndarray:
             pc = self._packed[name]
-            raw.fill(0)
-            for ccodes, _ in _iter_chunk_seeds(pc.fetch, pc.length, self.k, self.step):
-                raw += np.bincount(ccodes, minlength=nb)
+            parts = [
+                cc for cc, _ in
+                _iter_chunk_seeds(pc.fetch, pc.length, self.k, self.step)
+            ]
+            if not parts:
+                return np.zeros(nb, dtype=cdtype)
+            codes = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            raw = np.bincount(codes, minlength=nb)
             np.minimum(raw, cap, out=raw)
-            counts += raw
+            return raw.astype(cdtype)
+
+        with ThreadPoolExecutor(nthreads) as ex:
+            per_chrom = list(ex.map(chrom_counts, names))
+        counts = np.zeros(nb, dtype=np.int64)
+        for c in per_chrom:
+            counts += c
         self._offsets = np.empty(nb + 1, dtype=np.int64)
         self._offsets[0] = 0
         np.cumsum(counts, out=self._offsets[1:])
+        del counts
         n_seeds = int(self._offsets[-1])
         pos_dtype = np.uint32 if total <= 0xFFFFFFFF else np.int64
         self._positions = np.empty(n_seeds, dtype=pos_dtype)
-        # pass 2: counting-sort fill; fill_prev = entries written by
-        # earlier chroms per bucket, (fc, fw) = raw/written this chrom
-        fill_prev = np.zeros(nb, dtype=np.int64)
-        fc = np.empty(nb, dtype=np.int64)
-        fw = np.empty(nb, dtype=np.int64)
-        for ci, name in enumerate(self._chrom_names):
+
+        # pass 2: counting-sort fill; chrom ci writes at
+        # base_ci = offsets + sum of earlier chroms' capped counts —
+        # disjoint slots per chrom, so chroms fill concurrently
+        def fill_chrom(ci: int, base: np.ndarray) -> None:
+            name = names[ci]
             pc = self._packed[name]
             goff = int(self._chrom_off[ci])
-            fc.fill(0)
-            fw.fill(0)
-            for ccodes, cpos in _iter_chunk_seeds(pc.fetch, pc.length, self.k, self.step):
+            fc = np.zeros(nb, dtype=np.int64)
+            fw = np.zeros(nb, dtype=np.int64)
+            for ccodes, cpos in _iter_chunk_seeds(
+                pc.fetch, pc.length, self.k, self.step
+            ):
                 order = np.argsort(ccodes, kind="stable")
                 sc = ccodes[order].astype(np.int64)
                 sp = cpos[order]
@@ -376,13 +406,32 @@ class GenomeIndex:
                 # an ascending-position chunk), so the per-chrom cap keeps
                 # the lowest positions — same rule as SeedIndex
                 keep = fc[sc] + rank < cap
-                dest = self._offsets[sc] + fill_prev[sc] + fw[sc] + rank
+                dest = base[sc] + fw[sc] + rank
                 self._positions[dest[keep]] = sp[keep] + goff
                 rc = sc[first]
                 rlen = np.diff(np.r_[first, len(sc)])
                 fw[rc] += np.minimum(rlen, np.maximum(0, cap - fc[rc]))
                 fc[rc] += rlen
-            fill_prev += fw
+
+        # rolling write bases, dispatched in waves of nthreads so at most
+        # nthreads+1 nb-sized int64 copies are alive at once
+        run = self._offsets[:-1].copy()
+        ci = 0
+        with ThreadPoolExecutor(nthreads) as ex:
+            while ci < len(names):
+                wave = []
+                for _ in range(nthreads):
+                    if ci >= len(names):
+                        break
+                    last = ci == len(names) - 1
+                    base = run if last else run.copy()
+                    wave.append(ex.submit(fill_chrom, ci, base))
+                    if not last:
+                        run = run + per_chrom[ci]
+                    per_chrom[ci] = None  # free as we go
+                    ci += 1
+                for f in wave:
+                    f.result()
 
     # -- queries -----------------------------------------------------------
 

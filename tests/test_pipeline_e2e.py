@@ -394,10 +394,10 @@ def test_genome_index_cache_roundtrip(tmp_path):
     ]
 
 
-def test_e2e_batched_regions_identical(panel, tmp_path):
+def test_e2e_batched_regions_identical(run_events, tmp_path):
     """Config #3: the packed multi-region device k-mer path must produce
     the SAME calls as the serial path."""
-    work, cfg, INS = panel
+    work, cfg, INS = run_events[:3]
     cfg2 = Config(**{**cfg.__dict__,
                      "batch_regions": True,
                      "analysis_dir": str(tmp_path / "analysis_batched")})
@@ -458,12 +458,12 @@ def test_e2e_global_disc_support(tmp_path):
     assert on_b == on
 
 
-def test_e2e_batched_nprocs_identical(panel, tmp_path):
+def test_e2e_batched_nprocs_identical(run_events, tmp_path):
     """nprocs>1 (host worker threads over extract/assemble/classify) must
     be byte-identical to the single-threaded batched path — every
     cross-region ordering decision stays on the main thread (runner
     _run_batched; reference Pool(nprocs), SURVEY.md §2 #19)."""
-    work, cfg, INS = panel
+    work, cfg, INS = run_events[:3]
     cfg2 = Config(**{**cfg.__dict__,
                      "batch_regions": True,
                      "nprocs": 4,
@@ -489,10 +489,10 @@ def test_e2e_batched_nprocs_identical(panel, tmp_path):
     assert rows(cfg2.analysis_dir) == rows(cfg1.analysis_dir)
 
 
-def test_e2e_bam_input(panel, tmp_path):
+def test_e2e_bam_input(run_events, tmp_path):
     """Same panel through the BAM path: convert the SAM fixture to BAM and
     expect identical calls (config #1's 'bundled test BAM reads')."""
-    work, cfg, INS = panel
+    work, cfg, INS = run_events[:3]
     from breakmer_tpu.io.bam import write_bam
     from breakmer_tpu.io.fasta import read_fasta
     from breakmer_tpu.io.sam import parse_sam_line
@@ -518,11 +518,11 @@ def test_e2e_bam_input(panel, tmp_path):
     assert bam_out == sam_out  # bit-identical calls through either ingest
 
 
-def test_e2e_indexed_bam_no_preload(panel, tmp_path):
+def test_e2e_indexed_bam_no_preload(run_events, tmp_path):
     """Whole-genome-BAM mode: coordinate-sorted indexed BAM, preload off —
     each region is fetched through the BAI and the calls are identical to
     the preloaded SAM run (cross-path identity)."""
-    work, cfg, INS = panel
+    work, cfg, INS = run_events[:3]
     from breakmer_tpu.io.bam import write_bam
     from breakmer_tpu.io.fasta import read_fasta
     from breakmer_tpu.io.sam import parse_sam_line

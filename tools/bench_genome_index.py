@@ -85,6 +85,27 @@ def main():
         gi.fetch_codes(c, 1000 + i * 997, 3000 + i * 997)
     fetch_s = time.time() - t2
 
+    # artifact IO at scale (VERDICT r2 next #5): save, reload, verify
+    import os
+    import tempfile
+
+    from breakmer_tpu.align.index import GenomeIndex as GI
+
+    fd, art = tempfile.mkstemp(suffix=".npz")
+    os.close(fd)
+    try:
+        t3 = time.time()
+        gi.save(art)
+        save_s = time.time() - t3
+        artifact_mb = os.path.getsize(art) / 1e6
+        t4 = time.time()
+        gi2 = GI.load(art)
+        load_s = time.time() - t4
+        assert np.array_equal(gi2._offsets, gi._offsets)
+        assert np.array_equal(gi2._positions, gi._positions)
+    finally:
+        os.unlink(art)
+
     print(json.dumps({
         "metric": "genome_index",
         "total_bp": total,
@@ -93,6 +114,9 @@ def main():
         "n_seeds": n_seeds,
         "build_s": round(build_s, 1),
         "resident_mb": round(resident_mb, 1),
+        "save_s": round(save_s, 1),
+        "load_s": round(load_s, 1),
+        "artifact_mb": round(artifact_mb, 1),
         "queries_per_s": round(qps, 1),
         "query_recall": round(found / max(1, len(probes)), 4),
         "fetch_2kb_us": round(1e6 * fetch_s / nfetch, 1),
