@@ -326,6 +326,62 @@ class BamIndexedReader:
                 yield rec
 
 
+def stream_bam_records(path: str | Path) -> Iterator[SamRecord]:
+    """Whole-file BAM scan with BOUNDED memory: BGZF blocks are inflated
+    one at a time into a rolling buffer that is trimmed as records are
+    consumed, so peak RSS is O(64 KiB blocks + one record), independent
+    of file size — unlike BamReader, which holds the full inflated
+    stream (the native columnar path needs that; a plain scan doesn't).
+    Yields records identical to ``iter(BamReader(path))``."""
+    with open(path, "rb") as fh:
+        coffset = 0
+        buf = bytearray()
+        pos = 0
+
+        def ensure(n: int) -> bool:
+            nonlocal coffset
+            while len(buf) - pos < n:
+                payload, csize = _bgzf_read_block(fh, coffset)
+                if csize == 0:
+                    return False
+                coffset += csize
+                buf.extend(payload)
+            return True
+
+        if not ensure(8) or bytes(buf[:4]) != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file (bad magic)")
+        l_text = struct.unpack_from("<i", buf, 4)[0]
+        if not ensure(8 + l_text + 4):
+            raise ValueError(f"{path}: truncated BAM header")
+        pos = 8 + l_text
+        n_ref = struct.unpack_from("<i", buf, pos)[0]
+        pos += 4
+        refs: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            if not ensure(4):
+                raise ValueError(f"{path}: truncated reference dictionary")
+            l_name = struct.unpack_from("<i", buf, pos)[0]
+            if not ensure(8 + l_name):
+                raise ValueError(f"{path}: truncated reference dictionary")
+            name = bytes(buf[pos + 4 : pos + 4 + l_name - 1]).decode()
+            l_ref = struct.unpack_from("<i", buf, pos + 4 + l_name)[0]
+            refs.append((name, l_ref))
+            pos += 8 + l_name
+
+        def ref_name(rid: int) -> str:
+            return refs[rid][0] if 0 <= rid < len(refs) else "*"
+
+        while ensure(4):
+            block_size = struct.unpack_from("<i", buf, pos)[0]
+            if not ensure(4 + block_size):
+                break  # trailing partial record: same tolerance as BamReader
+            yield _parse_record(buf, pos + 4, ref_name)
+            pos += 4 + block_size
+            if pos >= (1 << 20):  # trim consumed bytes; keeps buf ~1-2 MiB
+                del buf[:pos]
+                pos = 0
+
+
 def find_index(path: str | Path) -> Optional[str]:
     """Sidecar index for a BAM, htslib lookup order: .bai then .csi."""
     for ext in (".bai", ".csi"):
@@ -344,6 +400,10 @@ def read_bam(
     if region is not None and find_index(path) is not None:
         with BamIndexedReader(path) as reader:
             yield from reader.fetch(*region)
+        return
+    if region is None:
+        # bounded-memory scan: no reason to hold the full inflated stream
+        yield from stream_bam_records(path)
         return
     for rec in BamReader(path):
         if region is not None:
@@ -368,6 +428,31 @@ def read_alignments(
     if str(path).endswith(".bam"):
         return read_bam(path, region)
     return read_sam(path, region)
+
+
+_NIBBLE_LUT = None
+
+
+def _pack_nibbles(seq: str) -> bytes:
+    """4-bit-pack a read sequence (SAM spec §4.2.3), vectorized: the
+    per-base python loop dominated write_bam at deep-coverage fixture
+    scale (tools/bench_bounded_ingest.py writes ~1 GB bodies). Unknown
+    characters map to N (15), matching the old _NIBBLE_OF.get(..., 15)."""
+    global _NIBBLE_LUT
+    if not seq:
+        return b""
+    import numpy as np
+
+    if _NIBBLE_LUT is None:
+        lut = np.full(256, 15, dtype=np.uint8)
+        for ch, v in _NIBBLE_OF.items():
+            lut[ord(ch)] = v
+            lut[ord(ch.lower())] = v
+        _NIBBLE_LUT = lut
+    codes = _NIBBLE_LUT[np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)]
+    if len(codes) % 2:
+        codes = np.concatenate([codes, np.zeros(1, dtype=np.uint8)])
+    return ((codes[0::2] << 4) | codes[1::2]).tobytes()
 
 
 def write_bam(
@@ -409,11 +494,7 @@ def write_bam(
         cigar_b = b"".join(
             struct.pack("<I", (ln << 4) | _OP_OF[op]) for ln, op in rec.cigar
         )
-        seq_b = bytearray()
-        for i in range(0, l_seq, 2):
-            hi = _NIBBLE_OF.get(seq[i].upper(), 15) << 4
-            lo = _NIBBLE_OF.get(seq[i + 1].upper(), 15) if i + 1 < l_seq else 0
-            seq_b.append(hi | lo)
+        seq_b = _pack_nibbles(seq)
         qual_b = bytes(rec.qual) if rec.qual else b"\xff" * l_seq
         rec_b = struct.pack(
             "<iiBBHHHiiii",

@@ -56,6 +56,7 @@ class Runner:
         self._record_bins = None  # per-chrom (idx, pos, end) interval arrays
         self._indexed_reader = None  # cached BamIndexedReader (indexed path)
         self._native_cols = None   # (cols, ref_names) for .bam native path
+        self._preload_resolved: Optional[bool] = None  # _preload_effective()
         self._global_disc = None   # run-level DiscordantPairs (lazy)
         self.total_calls = 0  # rows in the aggregate output (incl. resumed)
         import threading
@@ -237,6 +238,42 @@ class Runner:
         self._ledger_append_path.unlink(missing_ok=True)
 
     # -- alignment streaming -----------------------------------------------
+    def _preload_effective(self) -> bool:
+        """Whether this run actually preloads the alignment file.
+        cfg.preload_alignments, overridden to False when the BAM exceeds
+        cfg.preload_max_mb on disk AND a sidecar .bai/.csi exists — a
+        whole-file BGZF inflate of a production-scale BAM (tens of GB
+        compressed, 2-4x that inflated) must never be the default; the
+        indexed reader serves each region at cost independent of file
+        size. Decided once (the decision gates which lazily-built shared
+        structures exist, so it must not flip mid-run)."""
+        if self._preload_resolved is None:
+            cfg = self.cfg
+            use = bool(cfg.preload_alignments)
+            path = str(cfg.sample_bam_file)
+            if use and cfg.preload_max_mb is not None and path.endswith(".bam"):
+                from breakmer_tpu.io.bam import find_index
+
+                size_mb = Path(path).stat().st_size / 2**20
+                if size_mb > cfg.preload_max_mb:
+                    if find_index(path) is not None:
+                        use = False
+                        log.info(
+                            "sample BAM is %.0f MiB on disk (> preload_max_mb"
+                            "=%g) with a sidecar index: using indexed "
+                            "per-region fetch (bounded memory)",
+                            size_mb, cfg.preload_max_mb,
+                        )
+                    else:
+                        log.warning(
+                            "sample BAM is %.0f MiB on disk (> preload_max_mb"
+                            "=%g) but has no .bai/.csi index; preloading "
+                            "whole file — index it to bound memory",
+                            size_mb, cfg.preload_max_mb,
+                        )
+            self._preload_resolved = use
+        return self._preload_resolved
+
     def _ensure_native_cols(self) -> bool:
         """One-time native-BAM columnar decode (C++ inflate + decode).
         Returns True when the columnar path is usable. Called once from
@@ -247,7 +284,7 @@ class Runner:
         path = str(cfg.sample_bam_file)
         is_bam = path.endswith(".bam")
         is_sam = path.endswith(".sam")
-        if not (cfg.preload_alignments and (is_bam or is_sam)):
+        if not (self._preload_effective() and (is_bam or is_sam)):
             return False
         from breakmer_tpu import native
 
@@ -304,7 +341,7 @@ class Runner:
         each region by seeking (whole-genome BAMs: per-region cost is
         independent of file size)."""
         cfg = self.cfg
-        if not cfg.preload_alignments:
+        if not self._preload_effective():
             bam = str(cfg.sample_bam_file)
             from breakmer_tpu.io.bam import BamIndexedReader, find_index
 
@@ -336,7 +373,7 @@ class Runner:
         ON THE MAIN THREAD, so nprocs>1 workers only ever read them."""
         if self._ensure_native_cols():
             return
-        if self.cfg.preload_alignments:
+        if self._preload_effective():
             chrom, start, end = first_target.span(self.cfg.region_buffer)
             self._region_records(chrom, start, end)
 
@@ -421,7 +458,7 @@ class Runner:
         else:
             from breakmer_tpu.extract import global_discordant_pairs
 
-            if cfg.preload_alignments:
+            if self._preload_effective():
                 if self._sample_records is None:
                     self._sample_records = list(
                         read_alignments(cfg.sample_bam_file)
@@ -642,7 +679,7 @@ class Runner:
             if ext is not None:
                 return pipe.extract_and_clean(extract_result=ext)
             chrom, start, end = target.span(cfg.region_buffer)
-            if pool is not None and not cfg.preload_alignments:
+            if pool is not None and not self._preload_effective():
                 # the indexed-BAM reader seeks on one shared handle
                 with self._records_lock:
                     records = list(self._region_records(chrom, start, end))

@@ -11,12 +11,18 @@ coming out right. Prints one JSON line; GENOME_E2E_r02.json records it.
 
 Usage: python tools/bench_genome_e2e.py [total_bp]   (default 100e6)
 
+At the full 3.1 Gbp scale this additionally reports the index-artifact
+save/load seconds (timed inside Runner.setup via wrappers) and the
+process peak RSS — the runner-level numbers GENOME_INDEX_rNN.json's
+index-only bench cannot see.
+
 Runs on CPU by design: this is a host/IO-integration artifact (the
 device tiers it launches are the same panel tiers bench_panel.py times
 on the real chip).
 """
 
 import json
+import resource
 import shutil
 import sys
 import tempfile
@@ -31,6 +37,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from breakmer_tpu.align.index import GenomeIndex  # noqa: E402
 from breakmer_tpu.config import Config  # noqa: E402
 from breakmer_tpu.runner import Runner  # noqa: E402
 
@@ -39,10 +46,43 @@ from fixtures import Haplotype, NovelBlock, RefBlock, SamBuilder  # noqa: E402
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
+# timing wrappers so the artifact save/load inside Runner.setup is
+# measured exactly (not inferred from setup_cold/warm deltas)
+_IO_TIMES = {"save_s": None, "load_s": None, "artifact_mb": None}
+_orig_save, _orig_load = GenomeIndex.save, GenomeIndex.load
+
+
+def _timed_save(self, path):
+    t0 = time.time()
+    out = _orig_save(self, path)
+    _IO_TIMES["save_s"] = time.time() - t0
+    _IO_TIMES["artifact_mb"] = Path(path).stat().st_size / 1e6
+    return out
+
+
+def _timed_load(cls, path):
+    t0 = time.time()
+    out = _orig_load.__func__(cls, path)
+    _IO_TIMES["load_s"] = time.time() - t0
+    return out
+
+
+GenomeIndex.save = _timed_save
+GenomeIndex.load = classmethod(_timed_load)
+
+
+def _vm_rss_mb() -> float:
+    for line in Path("/proc/self/status").read_text().splitlines():
+        if line.startswith("VmRSS:"):
+            return int(line.split()[1]) / 1024
+    return 0.0
+
 
 def rand_chrom(seed: int, n: int) -> str:
+    # uint8 draws: the default int64 would transiently cost 8 bytes/bp
+    # (25 GB at 3.1 Gbp)
     rng = np.random.default_rng(seed)
-    return _BASES[rng.integers(0, 4, n)].tobytes().decode()
+    return _BASES[rng.integers(0, 4, n, dtype=np.uint8)].tobytes().decode()
 
 
 def main() -> None:
@@ -98,6 +138,14 @@ def main() -> None:
         for c, s, e, g in targets:
             sam.add_background_pairs(c, s - 200, e + 200, prefix=f"bg{g}")
         sam.write(work / "sample.sam")
+        # drop the in-process fixture strings (~1 byte/bp each in genome
+        # and SamBuilder) so the runner-phase RSS numbers are the
+        # runner's own footprint, not the generator's
+        import gc
+
+        del sam, genome
+        gc.collect()
+        rss_fixture_mb = _vm_rss_mb()
 
         base = dict(
             analysis_name="genome_e2e",
@@ -116,6 +164,9 @@ def main() -> None:
         events = r1.run()
         run_s = time.time() - t2
         idx_nbytes = r1.genome.nbytes if r1.genome is not None else 0
+        rss_cold_mb = _vm_rss_mb()
+        del r1
+        gc.collect()
 
         # warm pass: the cached index artifact must reload and reproduce
         t3 = time.time()
@@ -123,6 +174,7 @@ def main() -> None:
         r2.setup()
         setup_warm_s = time.time() - t3
         events2 = r2.run()
+        rss_warm_mb = _vm_rss_mb()
 
         by_gene = {e.genes: e for e in events}
         ok_ins = by_gene.get("G_INS") is not None and by_gene["G_INS"].sv_type == "indel" \
@@ -134,6 +186,7 @@ def main() -> None:
             and a.breakpoints == b.breakpoints
             for a, b in zip(events, events2)
         )
+        peak_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         print(json.dumps({
             "metric": "genome_e2e",
             "total_bp": total,
@@ -147,6 +200,16 @@ def main() -> None:
             "setup_warm_s": round(setup_warm_s, 1),
             "run_s": round(run_s, 1),
             "index_resident_mb": round(idx_nbytes / 1e6, 1),
+            "index_save_s": round(_IO_TIMES["save_s"], 1)
+            if _IO_TIMES["save_s"] is not None else None,
+            "index_load_s": round(_IO_TIMES["load_s"], 1)
+            if _IO_TIMES["load_s"] is not None else None,
+            "index_artifact_mb": round(_IO_TIMES["artifact_mb"], 1)
+            if _IO_TIMES["artifact_mb"] is not None else None,
+            "rss_fixture_mb": round(rss_fixture_mb, 1),
+            "rss_after_cold_run_mb": round(rss_cold_mb, 1),
+            "rss_after_warm_run_mb": round(rss_warm_mb, 1),
+            "peak_rss_mb": round(peak_rss_mb, 1),
         }))
         if not (ok_ins and ok_del and ok_trl and same):
             sys.exit(1)
