@@ -574,52 +574,64 @@ def _refine_boundaries(
     for s1, s2 in zip(segments, segments[1:]):
         if s2.q_start != s1.q_end:
             continue  # gap junction (inserted bases) — nothing to slide
-        # first undo small gap-overruns on either side of the junction
-        for _ in range(2):
-            popped = _try_pop_gap_overrun(
-                codes0, s1, "right", s2, region, genome, params
-            ) | _try_pop_gap_overrun(
-                codes0, s2, "left", s1, region, genome, params
+        # Pop-then-slide to a FIXED POINT: a slide can shrink a junction
+        # M run below _REFINE_W and thereby expose a gap-overrun the pop
+        # refused before the slide (seed-116 shape: [96M 7I 20M][69M] —
+        # pop sees m_len 20 > W, the slide turns it into [.. 7I 8M][81M],
+        # and only a SECOND pop recovers the true junction). Each pop
+        # strictly raises total SW score and each slide strictly raises
+        # total matches, so 4 rounds is far past convergence.
+        for _round in range(4):
+            changed = False
+            # undo small gap-overruns on either side of the junction
+            for _ in range(2):
+                popped = _try_pop_gap_overrun(
+                    codes0, s1, "right", s2, region, genome, params
+                ) | _try_pop_gap_overrun(
+                    codes0, s2, "left", s1, region, genome, params
+                )
+                changed |= popped
+                if not popped:
+                    break
+            b0 = s1.q_end
+            # gapless guards: shrinking an alignment must stay inside its
+            # junction-side M run; growth is always gapless
+            s1_edge = "tail" if s1.strand == "+" else "head"
+            s2_edge = "head" if s2.strand == "+" else "tail"
+            max_left = min(
+                _REFINE_W, b0 - (s1.q_start + 1),
+                _edge_m_len(s1.alignment, s1_edge) - 1,
             )
-            if not popped:
+            max_right = min(
+                _REFINE_W, (s2.q_end - 1) - b0,
+                _edge_m_len(s2.alignment, s2_edge) - 1,
+            )
+            if max_left < 0 or max_right < 0 or max_left + max_right == 0:
                 break
-        b0 = s1.q_end
-        # gapless guards: shrinking an alignment must stay inside its
-        # junction-side M run; growth is always gapless
-        s1_edge = "tail" if s1.strand == "+" else "head"
-        s2_edge = "head" if s2.strand == "+" else "tail"
-        max_left = min(
-            _REFINE_W, b0 - (s1.q_start + 1),
-            _edge_m_len(s1.alignment, s1_edge) - 1,
-        )
-        max_right = min(
-            _REFINE_W, (s2.q_end - 1) - b0,
-            _edge_m_len(s2.alignment, s2_edge) - 1,
-        )
-        if max_left < 0 or max_right < 0 or max_left + max_right == 0:
-            continue
-        lo, hi = b0 - max_left, b0 + max_right
-        eq1 = _eq_profile(codes0, s1, "right", b0, lo, hi, region, genome)
-        eq2 = _eq_profile(codes0, s2, "left", b0, lo, hi, region, genome)
-        if eq1 is None or eq2 is None:
-            continue
-        # total(b) = matches of [lo,b) on s1 + [b,hi) on s2, b in [lo,hi]
-        c1 = np.concatenate([[0], np.cumsum(eq1)])
-        c2 = np.concatenate([[0], np.cumsum(eq2)])
-        totals = c1 + (c2[-1] - c2)
-        base = totals[b0 - lo]
-        best_b, best_total = b0, base
-        for b in range(lo, hi + 1):
-            t = totals[b - lo]
-            if t > best_total or (
-                t == best_total and abs(b - b0) < abs(best_b - b0)
-            ):
-                best_b, best_total = b, t
-        delta = best_b - b0
-        if delta == 0:
-            continue
-        _apply_boundary_move(s1, "right", delta, eq1, lo, b0, params)
-        _apply_boundary_move(s2, "left", delta, eq2, lo, b0, params)
+            lo, hi = b0 - max_left, b0 + max_right
+            eq1 = _eq_profile(codes0, s1, "right", b0, lo, hi, region, genome)
+            eq2 = _eq_profile(codes0, s2, "left", b0, lo, hi, region, genome)
+            if eq1 is None or eq2 is None:
+                break
+            # total(b) = matches of [lo,b) on s1 + [b,hi) on s2, b in [lo,hi]
+            c1 = np.concatenate([[0], np.cumsum(eq1)])
+            c2 = np.concatenate([[0], np.cumsum(eq2)])
+            totals = c1 + (c2[-1] - c2)
+            base = totals[b0 - lo]
+            best_b, best_total = b0, base
+            for b in range(lo, hi + 1):
+                t = totals[b - lo]
+                if t > best_total or (
+                    t == best_total and abs(b - b0) < abs(best_b - b0)
+                ):
+                    best_b, best_total = b, t
+            delta = best_b - b0
+            if delta != 0:
+                _apply_boundary_move(s1, "right", delta, eq1, lo, b0, params)
+                _apply_boundary_move(s2, "left", delta, eq2, lo, b0, params)
+                changed = True
+            if not changed:
+                break
 
 
 def realign_contig(
