@@ -136,6 +136,14 @@ def build_bai(
         if rid < 0 or rid >= n_ref:
             continue
         end = max(end, pos + 1)
+        if end > (1 << 29):
+            # BAI's 5-level binning tops out at 2^29; a silent build here
+            # would misplace every record past it. htslib switches to CSI
+            # (io.csi / write_bam(index="csi") — auto-picked by
+            # write_bam(index=True) on long references).
+            raise ValueError(
+                f"position {end} exceeds BAI's 2^29 limit; use a CSI index"
+            )
         b = reg2bin(pos, end)
         chunks = bins[rid].setdefault(b, [])
         if chunks and chunks[-1][1] == vbeg:

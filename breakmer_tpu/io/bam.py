@@ -464,7 +464,11 @@ def write_bam(
     """Minimal BAM writer (fixtures, intermediates). With ``index=True``
     (or ``"bai"``/``"csi"``) the records must be coordinate-sorted and a
     sidecar index is written alongside (the `samtools index` analog;
-    io.bai / io.csi)."""
+    io.bai / io.csi). ``index=True`` picks the format the way samtools
+    does: CSI when any reference exceeds BAI's 2^29 coordinate ceiling,
+    BAI otherwise."""
+    if index is True and any(ln > (1 << 29) for _n, ln in refs):
+        index = "csi"
     rid: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
     if index:
         keyed = [

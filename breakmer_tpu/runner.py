@@ -437,6 +437,15 @@ class Runner:
                 if not (r.is_unmapped or r.is_secondary or r.is_supplementary):
                     depth += 1
             return depth
+        if self._indexed_reader is not None:
+            # bounded-ingest mode: one indexed point fetch (same counting
+            # rule as the columnar path: primary mapped records only)
+            with self._records_lock:
+                return sum(
+                    1 for r in self._indexed_reader.fetch(chrom, pos, pos + 1)
+                    if not (r.is_unmapped or r.is_secondary
+                            or r.is_supplementary)
+                )
         return 0
 
     def _global_disc_pairs(self):

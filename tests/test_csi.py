@@ -132,3 +132,33 @@ def test_csi_no_overprune_sparse_leading_record():
     idx = build_csi(1, entries)
     chunks = idx.query(0, 100_000, 150_000)
     assert any(cb <= 100 < ce for cb, ce in chunks), chunks
+
+
+def test_write_bam_autoselects_csi_for_long_chromosomes(tmp_path):
+    """index=True on an hg-scale chromosome (> 2^29 bp, beyond BAI's
+    coordinate ceiling) must come out as a CSI sidecar — and records
+    placed past 2^29 must fetch identically to a linear filter."""
+    import pytest
+
+    base = (1 << 29) + 250_000  # past BAI's limit
+    refs = [("chr1", 600_000_000)]
+    recs = [_rec(f"r{i}", p) for i, p in enumerate(
+        list(range(1000, 9000, 500))               # early coords
+        + list(range(base, base + 8000, 500))      # beyond-BAI coords
+    )]
+    recs.sort(key=lambda r: r.pos)
+    path = tmp_path / "long.bam"
+    write_bam(path, refs, recs, index=True)
+    assert find_index(path) == str(path) + ".csi"  # auto-picked CSI
+
+    with BamIndexedReader(path) as reader:
+        got = sorted(r.qname for r in reader.fetch("chr1", base, base + 3000))
+        want = sorted(r.qname for r in recs
+                      if base <= r.pos < base + 3000 or
+                      (r.pos < base + 3000 and r.reference_end() > base))
+        assert got == want and len(got) >= 6
+
+    # an explicit BAI on the same records must refuse loudly, not
+    # silently misplace everything past 2^29
+    with pytest.raises(ValueError, match="2\\^29"):
+        write_bam(tmp_path / "bad.bam", refs, recs, index="bai")
