@@ -154,8 +154,13 @@ def cluster_candidates(
         # + per-group loop was ~45 ms/query vs ~0.5 ms now; windows are
         # identical — same groups, same ascending-diagonal order)
         splits = np.nonzero(np.diff(diag) > band)[0] + 1
-        starts = np.r_[0, splits]
-        ends = np.r_[splits, len(diag)]
+        # np.concatenate, not np.r_: np.r_'s index-trick dispatch measured
+        # ~0.35 ms/query of pure overhead at genome scale (8 chroms x 2
+        # strands x 2 calls)
+        zero = np.zeros(1, dtype=splits.dtype)
+        end = np.full(1, len(diag), dtype=splits.dtype)
+        starts = np.concatenate([zero, splits])
+        ends = np.concatenate([splits, end])
         sizes = ends - starts
         keep = np.nonzero(sizes >= min_seeds)[0]
         for g in keep:
@@ -471,14 +476,25 @@ class GenomeIndex:
                                ("-", revcomp_codes(query_codes))):
             qc, qpos = _seed_codes(qcodes, self.k)
             qp, gp = self._hits_global(qc, qpos)
-            strands.append((strand, qp, gp))
+            # one stable partition by chromosome instead of a per-chrom
+            # boolean mask over the full hit array (was n_chroms x 2
+            # full-array scans per query); stable argsort preserves the
+            # q-major hit order within each chrom, so cluster_candidates
+            # sees byte-identical inputs
+            ci_of = np.searchsorted(self._chrom_off, gp, side="right") - 1
+            order = np.argsort(ci_of, kind="stable")
+            qp, gp, ci_of = qp[order], gp[order], ci_of[order]
+            bounds = np.searchsorted(ci_of, np.arange(len(self._chrom_names) + 1))
+            strands.append((strand, qp, gp, bounds))
         out: List[Window] = []
         for ci, chrom in enumerate(self._chrom_names):
             g0, g1 = int(self._chrom_off[ci]), int(self._chrom_off[ci + 1])
             hbs = []
-            for strand, qp, gp in strands:
-                sel = (gp >= g0) & (gp < g1)
-                hbs.append((strand, qp[sel], gp[sel] - g0))
+            for strand, qp, gp, bounds in strands:
+                a, b = int(bounds[ci]), int(bounds[ci + 1])
+                hbs.append((strand, qp[a:b], gp[a:b] - g0))
+            if all(len(h[1]) == 0 for h in hbs):
+                continue
             for w in cluster_candidates(hbs, g1 - g0, L, **kw):
                 w.chrom = chrom
                 out.append(w)
