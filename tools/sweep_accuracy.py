@@ -39,12 +39,13 @@ from tests.fixtures import ErrorModel  # noqa: E402
 from tests.scenarios import build_fp_scenario, build_scenario  # noqa: E402
 
 
-def run_recall_seed(seed: int, stats, failures) -> None:
+def run_recall_seed(seed: int, stats, failures, error_model=None) -> None:
     work = Path(tempfile.mkdtemp(prefix=f"sweep{seed}_"))
     try:
+        kw = {} if error_model is None else {"error_model": error_model}
         cfg_kwargs, checks = build_scenario(
             seed, work, n_genes=4, with_normal_germline=True,
-            multi_sv_gene=True,
+            multi_sv_gene=True, **kw,
         )
         runner = Runner(Config(**cfg_kwargs))
         runner.setup()
@@ -62,10 +63,11 @@ def run_recall_seed(seed: int, stats, failures) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_fp_seed(seed: int, fp_stats, fp_details) -> None:
+def run_fp_seed(seed: int, fp_stats, fp_details, error_model=None) -> None:
     work = Path(tempfile.mkdtemp(prefix=f"fp{seed}_"))
     try:
-        cfg_kwargs = build_fp_scenario(seed, work, n_genes=4)
+        kw = {} if error_model is None else {"error_model": error_model}
+        cfg_kwargs = build_fp_scenario(seed, work, n_genes=4, **kw)
         runner = Runner(Config(**cfg_kwargs))
         runner.setup()
         events = runner.run()
@@ -89,14 +91,26 @@ def main() -> int:
     ap.add_argument("--fp", type=int, default=50)
     ap.add_argument("--start-seed", type=int, default=0)
     ap.add_argument("--out", default=str(REPO / "ACCURACY_r03.json"))
+    ap.add_argument("--sub-rate", type=float, default=None,
+                    help="override ErrorModel.sub_rate (stress runs)")
+    ap.add_argument("--indel-rate", type=float, default=None)
+    ap.add_argument("--q-start", type=int, default=None)
+    ap.add_argument("--q-end", type=int, default=None)
+    ap.add_argument("--miscalibrated", type=float, default=None)
     args = ap.parse_args()
+    em_kw = {k: v for k, v in (
+        ("sub_rate", args.sub_rate), ("indel_rate", args.indel_rate),
+        ("q_start", args.q_start), ("q_end", args.q_end),
+        ("miscalibrated", args.miscalibrated),
+    ) if v is not None}
+    error_model = ErrorModel(**em_kw) if em_kw else None
 
     t0 = time.time()
     stats = defaultdict(lambda: {"n": 0, "ok": 0, "fail": 0})
     failures: list[str] = []
     for i in range(args.seeds):
         seed = args.start_seed + i
-        run_recall_seed(seed, stats, failures)
+        run_recall_seed(seed, stats, failures, error_model)
         if (i + 1) % 20 == 0:
             done = {k: f"{v['ok']}/{v['n']}" for k, v in sorted(stats.items())}
             print(f"[{i+1}/{args.seeds}] {done} "
@@ -105,7 +119,7 @@ def main() -> int:
     fp_stats = {"regions": 0, "calls": 0, "regions_with_calls": 0}
     fp_details: list[str] = []
     for i in range(args.fp):
-        run_fp_seed(10_000 + args.start_seed + i, fp_stats, fp_details)
+        run_fp_seed(10_000 + args.start_seed + i, fp_stats, fp_details, error_model)
         if (i + 1) % 20 == 0:
             print(f"[fp {i+1}/{args.fp}] {fp_stats} "
                   f"({time.time()-t0:.0f}s)", flush=True)
@@ -121,7 +135,7 @@ def main() -> int:
         "artifact": "accuracy sweep (noisy reads)",
         "seeds": args.seeds,
         "start_seed": args.start_seed,
-        "error_model": ErrorModel().__dict__,
+        "error_model": (error_model or ErrorModel()).__dict__,
         "recall": recall,
         "fp": {
             **fp_stats,
