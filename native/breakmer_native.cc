@@ -14,10 +14,12 @@
 // image). All buffers are caller-allocated numpy arrays except the
 // inflate output, which is malloc'd here and released with nat_free.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <zlib.h>
@@ -28,10 +30,10 @@ extern "C" {
 // BGZF
 // ---------------------------------------------------------------------------
 
-// Inflate a BGZF/multi-member-gzip stream. *out is malloc'd; caller frees
-// with nat_free. Returns 0 on success.
-int nat_bgzf_inflate(const uint8_t* in, uint64_t in_len,
-                     uint8_t** out, uint64_t* out_len) {
+// Sequential fallback: any multi-member gzip stream (non-BGZF members
+// have no BSIZE field, so block extents can't be pre-walked).
+static int bgzf_inflate_serial(const uint8_t* in, uint64_t in_len,
+                               uint8_t** out, uint64_t* out_len) {
   std::vector<uint8_t> buf;
   buf.reserve(in_len * 4);
   z_stream zs;
@@ -61,6 +63,121 @@ int nat_bgzf_inflate(const uint8_t* in, uint64_t in_len,
   if (!*out) return -3;
   std::memcpy(*out, buf.data(), buf.size());
   *out_len = buf.size();
+  return 0;
+}
+
+// One BGZF member's extents: [in_off, in_off+in_size) inflates to
+// [out_off, out_off+out_size).
+struct BgzfBlock {
+  uint64_t in_off, in_size, out_off, out_size;
+};
+
+// Walk BGZF member headers (BC extra subfield -> BSIZE; ISIZE trailer ->
+// uncompressed size). Returns false when any member is not BGZF-framed.
+static bool bgzf_walk_blocks(const uint8_t* in, uint64_t in_len,
+                             std::vector<BgzfBlock>* blocks,
+                             uint64_t* total_out) {
+  uint64_t off = 0, out_off = 0;
+  while (off < in_len) {
+    if (off + 18 > in_len) return false;
+    if (in[off] != 0x1f || in[off + 1] != 0x8b || in[off + 2] != 8 ||
+        !(in[off + 3] & 4))  // FEXTRA required for the BC subfield
+      return false;
+    uint16_t xlen;
+    std::memcpy(&xlen, in + off + 10, 2);
+    if (off + 12 + xlen > in_len) return false;
+    uint64_t bsize = 0;
+    uint64_t p = off + 12, xend = off + 12 + xlen;
+    while (p + 4 <= xend) {
+      uint16_t slen;
+      std::memcpy(&slen, in + p + 2, 2);
+      if (in[p] == 'B' && in[p + 1] == 'C' && slen == 2) {
+        uint16_t bs;
+        std::memcpy(&bs, in + p + 4, 2);
+        bsize = static_cast<uint64_t>(bs) + 1;
+      }
+      p += 4 + slen;
+    }
+    if (bsize == 0 || off + bsize > in_len || bsize < 12 + (uint64_t)xlen + 8)
+      return false;
+    uint32_t isize;
+    std::memcpy(&isize, in + off + bsize - 4, 4);  // <= 2^16 per BGZF spec
+    blocks->push_back({off, bsize, out_off, isize});
+    off += bsize;
+    out_off += isize;
+  }
+  *total_out = out_off;
+  return true;
+}
+
+// Inflate a BGZF/multi-member-gzip stream. *out is malloc'd; caller frees
+// with nat_free. Returns 0 on success.
+//
+// BGZF members are INDEPENDENT deflate streams with their sizes recorded
+// in the framing (BSIZE extra field + ISIZE trailer), so the hot path
+// pre-walks the extents sequentially (cheap header reads) and inflates
+// blocks in parallel into their exact output offsets — single-threaded
+// zlib (~0.8 GB/s) was the dominant cost of whole-BAM ingest at deep
+// coverage (bam_decode 2.6 s of a 4.4 s two-region run at 118x).
+// Non-BGZF gzip falls back to the serial path.
+int nat_bgzf_inflate(const uint8_t* in, uint64_t in_len,
+                     uint8_t** out, uint64_t* out_len) {
+  std::vector<BgzfBlock> blocks;
+  uint64_t total = 0;
+  if (!bgzf_walk_blocks(in, in_len, &blocks, &total))
+    return bgzf_inflate_serial(in, in_len, out, out_len);
+  uint8_t* dst = static_cast<uint8_t*>(std::malloc(total ? total : 1));
+  if (!dst) return -3;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("BREAKMER_NATIVE_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) hw = static_cast<unsigned>(v);
+  }
+  size_t nthreads = hw ? hw : 1;
+  if (nthreads > blocks.size()) nthreads = blocks.size() ? blocks.size() : 1;
+  std::atomic<size_t> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) {
+      err.store(-1);
+      return;
+    }
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blocks.size() || err.load()) break;
+      const BgzfBlock& b = blocks[i];
+      inflateReset2(&zs, 15 + 16);
+      zs.next_in = const_cast<uint8_t*>(in + b.in_off);
+      zs.avail_in = static_cast<uInt>(b.in_size);
+      uint8_t sink;  // empty member (BGZF EOF sentinel): zlib needs >=1
+      bool empty = b.out_size == 0;  // output byte to reach stream end
+      zs.next_out = empty ? &sink : dst + b.out_off;
+      zs.avail_out = empty ? 1 : static_cast<uInt>(b.out_size);
+      int ret = inflate(&zs, Z_FINISH);
+      bool exact = empty ? (zs.total_out == 0) : (zs.avail_out == 0);
+      if (ret != Z_STREAM_END || !exact) {
+        err.store(-2);
+        break;
+      }
+    }
+    inflateEnd(&zs);
+  };
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ts;
+    ts.reserve(nthreads);
+    for (size_t t = 0; t < nthreads; ++t) ts.emplace_back(worker);
+    for (auto& t : ts) t.join();
+  }
+  if (err.load()) {
+    std::free(dst);
+    return err.load();
+  }
+  *out = dst;
+  *out_len = total;
   return 0;
 }
 
