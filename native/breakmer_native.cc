@@ -66,6 +66,19 @@ static int bgzf_inflate_serial(const uint8_t* in, uint64_t in_len,
   return 0;
 }
 
+// Worker count for the parallel paths (BGZF inflate, BAM decode).
+// BREAKMER_NATIVE_THREADS overrides hardware_concurrency for benchmarking
+// and for pinning determinism-sensitive comparisons (outputs are
+// byte-identical at any thread count; the override only steers CPU use).
+static size_t native_thread_count() {
+  unsigned hw = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("BREAKMER_NATIVE_THREADS")) {
+    int v = std::atoi(env);
+    if (v > 0) hw = static_cast<unsigned>(v);
+  }
+  return hw ? hw : 1;
+}
+
 // One BGZF member's extents: [in_off, in_off+in_size) inflates to
 // [out_off, out_off+out_size).
 struct BgzfBlock {
@@ -128,12 +141,7 @@ int nat_bgzf_inflate(const uint8_t* in, uint64_t in_len,
     return bgzf_inflate_serial(in, in_len, out, out_len);
   uint8_t* dst = static_cast<uint8_t*>(std::malloc(total ? total : 1));
   if (!dst) return -3;
-  unsigned hw = std::thread::hardware_concurrency();
-  if (const char* env = std::getenv("BREAKMER_NATIVE_THREADS")) {
-    int v = std::atoi(env);
-    if (v > 0) hw = static_cast<unsigned>(v);
-  }
-  size_t nthreads = hw ? hw : 1;
+  size_t nthreads = native_thread_count();
   if (nthreads > blocks.size()) nthreads = blocks.size() ? blocks.size() : 1;
   std::atomic<size_t> next(0);
   std::atomic<int> err(0);
@@ -237,12 +245,24 @@ int nat_bam_decode(const uint8_t* data, uint64_t len, uint64_t align_off,
                    uint32_t* cigar_ops,
                    uint64_t n, uint64_t max_name, uint64_t max_seq,
                    uint64_t max_cigar) {
-  uint64_t off = align_off, i = 0;
-  while (off + 4 <= len && i < n) {
+  // Records are independent once their byte extents are known, so the hot
+  // path pre-walks the offsets (one 4-byte block-size read per record — a
+  // tiny fraction of full decode cost) and decodes disjoint contiguous
+  // record ranges in parallel. Columns are written at record-indexed
+  // offsets only, so ranges never overlap and output is byte-identical to
+  // the serial order at any thread count.
+  std::vector<uint64_t> offs;
+  offs.reserve(n);
+  uint64_t off = align_off;
+  while (off + 4 <= len && offs.size() < n) {
     uint32_t block;
     std::memcpy(&block, data + off, 4);
     if (off + 4 + block > len) break;
-    const uint8_t* r = data + off + 4;
+    offs.push_back(off);
+    off += 4 + block;
+  }
+  auto decode_one = [&](uint64_t i) {
+    const uint8_t* r = data + offs[i] + 4;
     int32_t rid, p, nrid, np, tl, ls;
     std::memcpy(&rid, r, 4);
     std::memcpy(&p, r + 4, 4);
@@ -308,11 +328,25 @@ int nat_bam_decode(const uint8_t* data, uint64_t len, uint64_t align_off,
       for (int32_t b = 0; b < ls; b++) qu[b] = (int8_t)q[b];
     }
     for (uint64_t b = ls; b < max_seq; b++) qu[b] = -1;
+  };
 
-    off += 4 + block;
-    i++;
+  size_t nthreads = native_thread_count();
+  if (nthreads > offs.size()) nthreads = offs.size() ? offs.size() : 1;
+  if (nthreads <= 1 || offs.size() < 4096) {  // thread spawn ~ decode of ~1e3 records
+    for (uint64_t i = 0; i < offs.size(); i++) decode_one(i);
+  } else {
+    std::vector<std::thread> ts;
+    ts.reserve(nthreads);
+    uint64_t total = offs.size();
+    for (size_t t = 0; t < nthreads; t++) {
+      uint64_t lo = total * t / nthreads, hi = total * (t + 1) / nthreads;
+      ts.emplace_back([&, lo, hi]() {
+        for (uint64_t i = lo; i < hi; i++) decode_one(i);
+      });
+    }
+    for (auto& th : ts) th.join();
   }
-  return (int)(i == n ? 0 : -1);
+  return (int)(offs.size() == n ? 0 : -1);
 }
 
 // ---------------------------------------------------------------------------
