@@ -23,16 +23,18 @@ from breakmer_tpu.encode import encode_seq, revcomp_codes
 def _seed_codes(codes: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
     """(codes, positions) of all valid k-mers in a base-code array (host,
     vectorized rolling evaluation)."""
-    codes = np.asarray(codes, dtype=np.int64)
+    codes = np.asarray(codes)
     n = len(codes) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    acc = np.zeros(n, dtype=np.int64)
-    bad = np.zeros(n, dtype=bool)
-    for j in range(k):
-        w = codes[j : j + n]
-        bad |= w >= 4
-        acc = (acc << 2) | np.where(w >= 4, 0, w)
+    # one windowed dot product instead of a k-step shift-accumulate loop
+    # (bad-window values are filtered out below, so masking before the
+    # accumulate is unnecessary); the loop's per-step numpy dispatches
+    # dominated at region-sized inputs
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    bad = (win >= 4).any(axis=1)
+    weights = np.left_shift(np.int64(1), 2 * np.arange(k - 1, -1, -1, dtype=np.int64))
+    acc = win.astype(np.int64) @ weights
     pos = np.nonzero(~bad)[0]
     return acc[pos], pos
 

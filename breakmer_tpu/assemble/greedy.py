@@ -177,13 +177,13 @@ def _consensus_kmers(codes: np.ndarray, k: int) -> "np.ndarray":
     n = len(codes) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    acc = np.zeros(n, dtype=np.int64)
-    bad = np.zeros(n, dtype=bool)
-    c64 = codes.astype(np.int64)
-    for j in range(k):
-        w = c64[j : j + n]
-        bad |= w >= 4
-        acc = (acc << 2) | np.where(w >= 4, 0, w)
+    # one windowed dot product instead of a k-step shift-accumulate loop:
+    # this runs ~350x per warm 100-gene panel and the old loop's ~4k numpy
+    # dispatches were pure call overhead at consensus lengths (~500)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    bad = (win >= 4).any(axis=1)
+    weights = np.left_shift(np.int64(1), 2 * np.arange(k - 1, -1, -1, dtype=np.int64))
+    acc = win.astype(np.int64) @ weights  # code>=4 only where bad (masked out)
     pos = np.nonzero(~bad)[0]
     return acc[pos], pos
 

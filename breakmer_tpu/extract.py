@@ -240,34 +240,41 @@ def extract_sv_reads_columnar(
             ref_names[nrid] if 0 <= nrid < len(ref_names) else "*",
             int(npos[i]),
         )
-    # pack kept reads (dedup by name+mate like the record path)
-    seqs: List[str] = []
+    # pack kept reads (dedup by name+mate like the record path). The
+    # decoder's column layout IS ReadBatch's convention (codes PAD=4
+    # beyond length, quals -1 pad), so kept rows are sliced in directly —
+    # the earlier per-read decode_seq -> from_seqs re-encode round trip
+    # (identity over codes 0..4) and the per-base qual int() loop were
+    # ~half this function's time at panel scale.
     names: List[str] = []
-    qlist: List[List[int]] = []
-    from breakmer_tpu.encode import decode_seq
-
+    rows: List[int] = []
     seen = set()
-    name_rows = cols["names"][idx]
-    seq_rows = cols["seq_codes"][idx]
+    name_rows = cols["names"]
     for i in np.nonzero(keep)[0]:
-        L = int(lseq[i])
-        if L == 0:
+        if lseq[i] == 0:
             continue
-        base = bytes(name_rows[i]).split(b"\x00")[0].decode()
+        base = bytes(name_rows[idx[i]]).split(b"\x00")[0].decode()
         name = base + ("/2" if f[i] & 0x80 else "/1")
         if name in seen:
             continue
         seen.add(name)
-        seqs.append(decode_seq(seq_rows[i, :L]))
         names.append(name)
-        qlist.append([int(x) for x in quals[i, :L]])
-    batch = (
-        ReadBatch.from_seqs(seqs, names=names, quals=qlist)
-        if seqs else ReadBatch.from_seqs([])
-    )
+        rows.append(i)
+    if rows:
+        sel = idx[rows]
+        lens = lseq[rows].astype(np.int32)
+        lmax = int(lens.max())
+        batch = ReadBatch(
+            codes=np.ascontiguousarray(cols["seq_codes"][sel, :lmax]),
+            lengths=lens,
+            names=names,
+            quals=np.ascontiguousarray(cols["quals"][sel, :lmax]),
+        )
+    else:
+        batch = ReadBatch.from_seqs([])
     return ExtractResult(
         batch=batch, disc=disc, coverage=cov, region_chrom=chrom,
-        region_start=start, n_records=int(len(idx)), n_sv_reads=len(seqs),
+        region_start=start, n_records=int(len(idx)), n_sv_reads=len(rows),
     )
 
 
