@@ -219,3 +219,40 @@ def test_adapter_overlap_with_indel_at_read_end():
     ov = adapter[:7] + adapter[8:14]
     read = payload + ov
     assert _find_adapter_3p(read, adapter) == len(payload)
+
+
+def test_quality_trim_batch_matches_per_read_loop():
+    """The vectorized no-adapter clean_reads path must match a straight
+    per-read implementation of cutadapt's partial-sum trim exactly."""
+    import numpy as np
+
+    from breakmer_tpu.encode import ReadBatch, decode_seq
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(0, 12))
+        seqs, quals = [], []
+        for _ in range(n):
+            L = int(rng.integers(1, 60))
+            seqs.append("".join(rng.choice(list("ACGTN"), size=L)))
+            quals.append(rng.integers(0, 42, size=L).tolist())
+        batch = ReadBatch.from_seqs(seqs, quals=quals)
+        trim_qual = int(rng.integers(0, 20))
+        min_len = int(rng.integers(1, 30))
+        got = clean_reads(batch, trim_qual=trim_qual, min_len=min_len)
+        # per-read oracle (the pre-vectorization loop semantics)
+        exp = []
+        for i in range(n):
+            q = np.asarray(quals[i], dtype=np.int32)
+            s3 = np.cumsum(trim_qual - q[::-1])
+            cut3 = int(np.argmax(s3)) + 1 if s3.size and s3.max() > 0 else 0
+            s5 = np.cumsum(trim_qual - q)
+            cut5 = int(np.argmax(s5)) + 1 if s5.size and s5.max() > 0 else 0
+            lo, hi = cut5, len(q) - cut3
+            if hi - lo >= min_len:
+                exp.append((batch.names[i], seqs[i][lo:hi], quals[i][lo:hi]))
+        assert len(got) == len(exp)
+        for j, (name, seq, ql) in enumerate(exp):
+            assert got.names[j] == name
+            assert got.seq(j) == seq
+            assert got.quals[j, : len(ql)].tolist() == ql
