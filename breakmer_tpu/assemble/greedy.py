@@ -37,6 +37,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from breakmer_tpu import native as _native
 from breakmer_tpu.encode import ReadBatch, decode_seq
 from breakmer_tpu.ops import kmer as kmer_ops
 
@@ -197,6 +198,7 @@ def assemble(
     min_contig_len: int = 20,
     max_read_mismatch_frac: float = 0.10,
     contig_id_prefix: str = "contig",
+    use_native: bool = True,
 ) -> List[Contig]:
     """Assemble contigs from sample-only k-mers.
 
@@ -205,12 +207,48 @@ def assemble(
         already ordered count desc, code asc (the processing order).
       batch: the SV-informative reads.
       k: k-mer size used for kmer_values.
+      use_native: route through the byte-identical C++ twin
+        (native/breakmer_native.cc nat_assemble) when available; this
+        Python body is the semantics oracle and the structural-equality
+        tests in tests/test_native_assemble.py pin the two together.
 
     Returns contigs in creation order, each with per-read contig offsets
     (needed later for split-read support counting — SURVEY.md §2 #13).
     """
     if len(kmer_values) == 0 or len(batch) == 0:
         return []
+
+    if use_native:
+        nat = _native.assemble_greedy(
+            batch.codes, batch.lengths, np.asarray(kmer_values, dtype=np.int64),
+            k, min_contig_reads, min_contig_len, max_read_mismatch_frac,
+        )
+        if nat is not None:
+            meta, reads_arr, kmers_arr, cons_arr = nat
+            contigs: List[Contig] = []
+            ri = ki = ci = 0
+            for nr, nkm, clen in meta.tolist():
+                reads = [
+                    ContigRead(
+                        batch.names[int(reads_arr[ri + j, 0])],
+                        int(reads_arr[ri + j, 0]),
+                        int(reads_arr[ri + j, 1]),
+                        int(batch.lengths[reads_arr[ri + j, 0]]),
+                    )
+                    for j in range(nr)
+                ]
+                contigs.append(
+                    Contig(
+                        id=f"{contig_id_prefix}{len(contigs) + 1}",
+                        seq=decode_seq(cons_arr[ci : ci + clen]),
+                        reads=reads,
+                        kmers=kmers_arr[ki : ki + nkm].tolist(),
+                    )
+                )
+                ri += nr
+                ki += nkm
+                ci += clen
+            return contigs
 
     # host twin of the device op: posting lists are consumed on the host,
     # and a device call here would pay a TPU-relay fetch per region

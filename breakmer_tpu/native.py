@@ -29,14 +29,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if _load_attempted:
         return _lib
     _load_attempted = True
-    if not _SO.exists():
+    _cc = _NATIVE_DIR / "breakmer_native.cc"
+    stale = (
+        not _SO.exists()
+        or (_cc.exists() and _SO.stat().st_mtime < _cc.stat().st_mtime)
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", str(_NATIVE_DIR)],
                 capture_output=True, timeout=120, check=True,
             )
         except Exception:
-            return None
+            if not _SO.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError:
@@ -77,6 +83,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nat_sw_traceback.argtypes = [
         vp, i64, vp, i64, i32, i32, i32, i32, vp, vp,
     ]
+    try:
+        lib.nat_assemble.restype = ctypes.c_int
+        lib.nat_assemble.argtypes = [
+            vp, i64, i64, vp, vp, i64, i32, i32, i32, ctypes.c_double,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), u64p,
+        ]
+    except AttributeError:
+        # stale shared library predating nat_assemble; callers fall back
+        pass
     _lib = lib
     return lib
 
@@ -286,6 +301,59 @@ def pack_2bit(codes: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def assemble_greedy(
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    kmer_values: np.ndarray,
+    k: int,
+    min_reads: int,
+    min_len: int,
+    mm_frac: float,
+):
+    """Native greedy k-mer-extension assembly (assemble/greedy.py fast
+    path; the Python implementation stays the semantics oracle and tests
+    assert structural equality on randomized fixtures).
+
+    Returns (meta[n,3], reads[nr,2], kmers[nk], cons[int8]) parsed from the
+    packed blob, or None when the native library is unavailable or the
+    arguments are outside the native path's envelope (k > 16) — callers
+    fall back to the oracle.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "nat_assemble"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    kv = np.ascontiguousarray(kmer_values, dtype=np.int64)
+    R, L = codes.shape
+    blob = ctypes.POINTER(ctypes.c_uint8)()
+    blen = ctypes.c_uint64()
+    rc = lib.nat_assemble(
+        codes.ctypes.data_as(ctypes.c_void_p), R, L,
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        kv.ctypes.data_as(ctypes.c_void_p), len(kv),
+        k, min_reads, min_len, float(mm_frac),
+        ctypes.byref(blob), ctypes.byref(blen),
+    )
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(blob, blen.value)
+    finally:
+        lib.nat_free(blob)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    nc, nr, nk, ncons = (int(v) for v in buf[:32].view(np.uint64))
+    off = 32
+    meta = buf[off : off + nc * 24].view(np.int64).reshape(nc, 3)
+    off += nc * 24
+    reads = buf[off : off + nr * 16].view(np.int64).reshape(nr, 2)
+    off += nr * 16
+    kmers = buf[off : off + nk * 8].view(np.int64)
+    off += nk * 8
+    cons = buf[off : off + ncons].view(np.int8)
+    return meta, reads, kmers, cons
 
 
 def sw_traceback(q: np.ndarray, t: np.ndarray, match: int, mismatch: int,

@@ -14,13 +14,16 @@
 // image). All buffers are caller-allocated numpy arrays except the
 // inflate output, which is malloc'd here and released with nat_free.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 #include <zlib.h>
 
@@ -807,6 +810,361 @@ int nat_pack_2bit(const int8_t* codes, uint64_t n, uint32_t* out) {
     }
     out[w] = acc;
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy k-mer-extension assembly — byte-identical native twin of
+// breakmer_tpu/assemble/greedy.py (the Python implementation remains the
+// semantics oracle; tests assert structural equality on randomized
+// fixtures). Every tie-break rule pinned there is replicated here:
+//   * k-mer processing order = caller's kmer_values order (count desc,
+//     code asc);
+//   * posting order = read index asc, then position asc;
+//   * consensus argmax ties -> smaller base code;
+//   * newly reachable sample-only k-mers enqueued in consensus scan order;
+//   * popped k-mers marked globally used even when the contig is later
+//     discarded; reads of discarded contigs stay available.
+// Assembly was the largest host stage of the warm panel profile (~38%,
+// numpy-call-overhead-bound at ~80us/read); this runs the same integer
+// work in-cache.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct AsmPost {
+  uint32_t code;
+  int32_t read;
+  int32_t pos;
+};
+
+// Mutable contig under construction: dense position-vote matrix over
+// contig coordinates [lo, lo+rows), per-row argmax maintained
+// incrementally (counts never decrease, so untouched rows cannot change).
+struct AsmGrow {
+  std::vector<int32_t> counts;  // rows*4
+  std::vector<int8_t> out;      // per-row argmax, 4 = uncovered
+  int64_t lo = 0;
+  bool init = false;
+  int64_t cov_lo = 0, cov_hi = -1;  // covered extent, contig coords
+
+  void add_read(const int8_t* codes, int64_t n, int64_t offset) {
+    if (n == 0) return;
+    int64_t first = -1, last = -1;
+    for (int64_t i = 0; i < n; ++i) {
+      int8_t c = codes[i];
+      if (c >= 0 && c < 4) {
+        if (first < 0) first = i;
+        last = i;
+      }
+    }
+    if (first < 0) return;  // zero non-N bases: nothing to vote on
+    if (!init) {
+      init = true;
+      lo = offset;
+      counts.assign((size_t)n * 4, 0);
+      out.assign((size_t)n, 4);
+    } else {
+      int64_t rows = (int64_t)out.size();
+      int64_t grow_left = lo - offset;
+      if (grow_left > 0) {
+        counts.insert(counts.begin(), (size_t)grow_left * 4, 0);
+        out.insert(out.begin(), (size_t)grow_left, 4);
+        lo = offset;
+        rows += grow_left;
+      }
+      int64_t grow_right = (offset + n) - (lo + rows);
+      if (grow_right > 0) {
+        counts.insert(counts.end(), (size_t)grow_right * 4, 0);
+        out.insert(out.end(), (size_t)grow_right, 4);
+      }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int8_t c = codes[i];
+      if (c >= 0 && c < 4) counts[(size_t)(offset - lo + i) * 4 + c]++;
+    }
+    // re-derive only the touched rows; argmax tie -> smaller base code
+    int64_t a = offset - lo + first, b = offset - lo + last + 1;
+    for (int64_t r = a; r < b; ++r) {
+      const int32_t* row = &counts[(size_t)r * 4];
+      int32_t best = row[0];
+      int bi = 0;
+      bool any = row[0] > 0;
+      for (int j = 1; j < 4; ++j) {
+        any = any || row[j] > 0;
+        if (row[j] > best) {
+          best = row[j];
+          bi = j;
+        }
+      }
+      out[(size_t)r] = any ? (int8_t)bi : (int8_t)4;
+    }
+    int64_t cl = lo + a, ch = lo + b - 1;
+    if (cov_hi < cov_lo) {
+      cov_lo = cl;
+      cov_hi = ch;
+    } else {
+      if (cl < cov_lo) cov_lo = cl;
+      if (ch > cov_hi) cov_hi = ch;
+    }
+  }
+
+  // trimmed consensus view (interior uncovered rows stay code 4 = N)
+  const int8_t* cons() const { return out.data() + (cov_lo - lo); }
+  int64_t cons_len() const {
+    return (init && cov_hi >= cov_lo) ? cov_hi - cov_lo + 1 : 0;
+  }
+  int64_t cons_start() const { return cov_lo; }
+};
+
+}  // namespace
+
+// Returns 0 and a malloc'd blob (release with nat_free) laid out as:
+//   u64 header[4] = {n_contigs, total_reads, total_kmers, total_cons}
+//   i64 meta[n_contigs*3]          (n_reads, n_kmers, cons_len)
+//   i64 reads[total_reads*2]       (read_index, offset rebased to 0)
+//   i64 kmers[total_kmers]         (scan order, duplicates kept)
+//   i8  cons[total_cons]           (concatenated consensus base codes)
+// rc -1: unsupported args (k outside 1..16, L < k) -> caller falls back
+// to the Python oracle path; rc -2: allocation failure.
+int nat_assemble(const int8_t* codes, int64_t R, int64_t L,
+                 const int32_t* lengths, const int64_t* kmer_values,
+                 int64_t nk, int32_t k, int32_t min_reads, int32_t min_len,
+                 double mm_frac, uint8_t** out_blob, uint64_t* out_len) {
+  if (k < 1 || k > 16 || L < k || R <= 0 || nk <= 0) return -1;
+  const int64_t W = L - k + 1;
+  const uint32_t mask = (k == 16) ? 0xffffffffu : ((1u << (2 * k)) - 1u);
+
+  // per-read k-mer postings in (read asc, pos asc) generation order;
+  // rolling window with an N counter (bad windows are skipped, matching
+  // kmer_codes_np's validity mask)
+  std::vector<AsmPost> posts;
+  posts.reserve((size_t)R * 8);
+  for (int64_t r = 0; r < R; ++r) {
+    const int8_t* row = codes + r * L;
+    const int64_t wmax = (int64_t)lengths[r] - k;  // pos <= wmax is valid
+    uint32_t acc = 0;
+    int bad = 0;
+    for (int64_t j = 0; j < k - 1; ++j) {
+      int8_t c = row[j];
+      bool isbad = (c >= 4 || c < 0);
+      if (isbad) bad++;
+      acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+    }
+    for (int64_t j = 0; j < W; ++j) {
+      int8_t c = row[j + k - 1];
+      bool isbad = (c >= 4 || c < 0);
+      if (isbad) bad++;
+      acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+      if (j <= wmax && bad == 0)
+        posts.push_back({acc, (int32_t)r, (int32_t)j});
+      int8_t oc = row[j];
+      if (oc >= 4 || oc < 0) bad--;
+    }
+  }
+  // stable sort by code keeps (read, pos) order within each code
+  std::stable_sort(posts.begin(), posts.end(),
+                   [](const AsmPost& a, const AsmPost& b) {
+                     return a.code < b.code;
+                   });
+  std::unordered_map<uint32_t, std::pair<int64_t, int64_t>> groups;
+  groups.reserve(posts.size());
+  for (int64_t i = 0; i < (int64_t)posts.size();) {
+    int64_t j = i;
+    while (j < (int64_t)posts.size() && posts[j].code == posts[i].code) j++;
+    groups.emplace(posts[i].code, std::make_pair(i, j));
+    i = j;
+  }
+
+  std::unordered_set<uint32_t> sample_only;
+  sample_only.reserve((size_t)nk);
+  for (int64_t i = 0; i < nk; ++i) {
+    int64_t v = kmer_values[i];
+    if (v >= 0 && v <= 0xffffffffLL) sample_only.insert((uint32_t)v);
+  }
+
+  std::unordered_set<uint32_t> kmer_used;
+  std::vector<char> read_used((size_t)R, 0);
+  std::vector<int64_t> placed_gen((size_t)R, -1);
+  int64_t gen = -1;
+
+  std::vector<int64_t> meta, reads_out, kmers_out;
+  std::vector<int8_t> cons_out;
+
+  for (int64_t si = 0; si < nk; ++si) {
+    int64_t sv = kmer_values[si];
+    // values outside uint32 cannot occur in reads or consensus; the
+    // Python path just marks them used — observationally identical
+    if (sv < 0 || sv > 0xffffffffLL) continue;
+    uint32_t seed = (uint32_t)sv;
+    if (kmer_used.count(seed)) continue;
+    auto git = groups.find(seed);
+    int64_t gs = 0, ge = 0, hits = 0;
+    if (git != groups.end()) {
+      gs = git->second.first;
+      ge = git->second.second;
+      for (int64_t i = gs; i < ge; ++i)
+        if (!read_used[posts[i].read]) hits++;
+    }
+    if (hits < (int64_t)min_reads) {
+      kmer_used.insert(seed);
+      continue;
+    }
+    int64_t fi = gs;
+    while (read_used[posts[fi].read]) fi++;
+
+    gen++;
+    AsmGrow grow;
+    std::vector<std::pair<int32_t, int64_t>> placed;
+    std::deque<uint32_t> q;
+    std::unordered_set<uint32_t> queued;
+    std::unordered_map<uint32_t, int64_t> cons_kpos;
+    q.push_back(seed);
+    queued.insert(seed);
+
+    auto place = [&](int32_t ridx, int64_t read_kpos,
+                     int64_t contig_kpos) -> bool {
+      if (placed_gen[ridx] == gen) return false;
+      int64_t len = lengths[ridx];
+      const int8_t* rc = codes + (int64_t)ridx * L;
+      int64_t offset = contig_kpos - read_kpos;
+      int64_t clen = grow.cons_len();
+      if (clen > 0) {
+        int64_t cstart = grow.cons_start();
+        const int8_t* cons = grow.cons();
+        int64_t c_lo = std::max(cstart, offset);
+        int64_t c_hi = std::min(cstart + clen, offset + len);
+        if (c_hi > c_lo) {
+          int64_t ov = c_hi - c_lo, mm = 0;
+          for (int64_t i = c_lo; i < c_hi; ++i) {
+            int8_t a = cons[i - cstart], b = rc[i - offset];
+            if (a < 4 && b < 4 && b >= 0 && a != b) mm++;
+          }
+          int64_t thr = std::max((int64_t)2, (int64_t)(mm_frac * (double)ov));
+          if (mm > thr) return false;
+        }
+      }
+      grow.add_read(rc, len, offset);
+      placed.emplace_back(ridx, offset);
+      placed_gen[ridx] = gen;
+      return true;
+    };
+
+    // consensus k-mer scan: first-occurrence map + enqueue newly
+    // reachable sample-only k-mers in scan (position) order
+    auto refresh = [&]() {
+      cons_kpos.clear();
+      int64_t clen = grow.cons_len();
+      const int8_t* cons = grow.cons();
+      int64_t n = clen - k + 1;
+      uint32_t acc = 0;
+      int bad = 0;
+      for (int64_t j = 0; j < (int64_t)k - 1 && j < clen; ++j) {
+        int8_t c = cons[j];
+        bool isbad = (c >= 4 || c < 0);
+        if (isbad) bad++;
+        acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+      }
+      for (int64_t j = 0; j < n; ++j) {
+        int8_t c = cons[j + k - 1];
+        bool isbad = (c >= 4 || c < 0);
+        if (isbad) bad++;
+        acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+        if (bad == 0) {
+          cons_kpos.emplace(acc, j);  // keeps first occurrence
+          if (sample_only.count(acc) && !queued.count(acc)) {
+            q.push_back(acc);
+            queued.insert(acc);
+          }
+        }
+        int8_t oc = cons[j];
+        if (oc >= 4 || oc < 0) bad--;
+      }
+    };
+
+    if (place(posts[fi].read, posts[fi].pos, 0)) refresh();
+
+    while (!q.empty()) {
+      uint32_t code = q.front();
+      q.pop_front();
+      kmer_used.insert(code);
+      auto it = cons_kpos.find(code);
+      if (it == cons_kpos.end()) continue;
+      int64_t contig_kpos = grow.cons_start() + it->second;
+      bool added = false;
+      auto g2 = groups.find(code);
+      if (g2 != groups.end()) {
+        for (int64_t i = g2->second.first; i < g2->second.second; ++i) {
+          int32_t rr = posts[i].read;
+          if (read_used[rr] || placed_gen[rr] == gen) continue;
+          if (place(rr, posts[i].pos, contig_kpos)) added = true;
+        }
+      }
+      if (added) refresh();
+    }
+
+    int64_t clen = grow.cons_len();
+    if ((int64_t)placed.size() >= (int64_t)min_reads &&
+        clen >= (int64_t)min_len) {
+      for (auto& pr : placed) read_used[pr.first] = 1;
+      int64_t base = grow.cons_start();
+      const int8_t* cons = grow.cons();
+      int64_t nkm0 = (int64_t)kmers_out.size();
+      // all sample-only k-mers of the consensus, scan order, dups kept
+      int64_t n = clen - k + 1;
+      uint32_t acc = 0;
+      int bad = 0;
+      for (int64_t j = 0; j < (int64_t)k - 1 && j < clen; ++j) {
+        int8_t c = cons[j];
+        bool isbad = (c >= 4 || c < 0);
+        if (isbad) bad++;
+        acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+      }
+      for (int64_t j = 0; j < n; ++j) {
+        int8_t c = cons[j + k - 1];
+        bool isbad = (c >= 4 || c < 0);
+        if (isbad) bad++;
+        acc = ((acc << 2) | (isbad ? 0u : (uint32_t)c)) & mask;
+        if (bad == 0 && sample_only.count(acc))
+          kmers_out.push_back((int64_t)acc);
+        int8_t oc = cons[j];
+        if (oc >= 4 || oc < 0) bad--;
+      }
+      meta.push_back((int64_t)placed.size());
+      meta.push_back((int64_t)kmers_out.size() - nkm0);
+      meta.push_back(clen);
+      for (auto& pr : placed) {
+        reads_out.push_back((int64_t)pr.first);
+        reads_out.push_back(pr.second - base);
+      }
+      cons_out.insert(cons_out.end(), cons, cons + clen);
+    }
+  }
+
+  uint64_t header[4] = {meta.size() / 3, reads_out.size() / 2,
+                        kmers_out.size(), cons_out.size()};
+  uint64_t total = sizeof(header) + meta.size() * 8 + reads_out.size() * 8 +
+                   kmers_out.size() * 8 + cons_out.size();
+  uint8_t* blob = (uint8_t*)std::malloc(total ? total : 1);
+  if (!blob) return -2;
+  uint8_t* p = blob;
+  std::memcpy(p, header, sizeof(header));
+  p += sizeof(header);
+  if (!meta.empty()) {
+    std::memcpy(p, meta.data(), meta.size() * 8);
+    p += meta.size() * 8;
+  }
+  if (!reads_out.empty()) {
+    std::memcpy(p, reads_out.data(), reads_out.size() * 8);
+    p += reads_out.size() * 8;
+  }
+  if (!kmers_out.empty()) {
+    std::memcpy(p, kmers_out.data(), kmers_out.size() * 8);
+    p += kmers_out.size() * 8;
+  }
+  if (!cons_out.empty()) std::memcpy(p, cons_out.data(), cons_out.size());
+  *out_blob = blob;
+  *out_len = total;
   return 0;
 }
 
