@@ -62,10 +62,13 @@ def plant_sv(
     start: int,
     end: int,
     kind: Optional[str] = None,
+    read_step: int = 4,
 ) -> Tuple[str, Checker]:
     """Plant one random SV of ``kind`` (random if None) inside
     [start+200, end-200) on chr1; tile errored junction reads over it.
-    Returns (kind, checker)."""
+    ``read_step`` sets junction-read tiling density (haplotype depth
+    ~= read_len/read_step = 25x at the default 4 — the envelope sweep
+    titrates it). Returns (kind, checker)."""
     if kind is None:
         kind = str(rng.choice(SV_KINDS))
     span = end - start
@@ -81,7 +84,7 @@ def plant_sv(
             RefBlock("chr1", mid, end),
         ])
         sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=4, prefix=f"{gene}r")
+                                step=read_step, prefix=f"{gene}r")
         # insertion can slide where the novel seq's edge matches the ref
         h = _homology(g[:mid], ins) + _homology(ins, g[mid:mid + 40][::-1])
         tol = 3 + h
@@ -100,7 +103,7 @@ def plant_sv(
             RefBlock("chr1", start, mid), RefBlock("chr1", mid + size, end),
         ])
         sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=4, prefix=f"{gene}r")
+                                step=read_step, prefix=f"{gene}r")
         # left-align the planted truth like the caller does
         mid_norm = mid
         while mid_norm > 0 and g[mid_norm - 1] == g[mid_norm + size - 1]:
@@ -120,7 +123,7 @@ def plant_sv(
             RefBlock("chr1", start, mid), RefBlock("chr1", mid - size, end),
         ])
         sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=4, prefix=f"{gene}r")
+                                step=read_step, prefix=f"{gene}r")
         # the dup junction joins g[mid-1] | g[mid-size]; homology there
         # slides both breakpoints together (size is exact regardless)
         h = _homology(g[:mid], g[:mid - size]) + _homology(
@@ -148,7 +151,7 @@ def plant_sv(
             RefBlock("chr1", mid + size, end),
         ])
         sam.add_haplotype_reads(hap, mid - start - 160,
-                                mid - start + size + 140, step=4,
+                                mid - start + size + 140, step=read_step,
                                 prefix=f"{gene}r")
         # exact equivalent placements: inverting [a', b') yields the
         # identical haplotype when the junction context is (near-)
@@ -202,7 +205,7 @@ def plant_sv(
             RefBlock("chr1", start, mid), RefBlock("chr2", p2, p2 + 450),
         ])
         sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=4, prefix=f"{gene}r")
+                                step=read_step, prefix=f"{gene}r")
         sam.add_discordant_pairs("chr1", mid, "chr2", p2, n=5,
                                  prefix=f"{gene}d")
         # junction slides left where g1/g2 suffixes agree, right where
@@ -288,6 +291,7 @@ def build_scenario(
     error_model: Optional[ErrorModel] = ErrorModel(),
     with_normal_germline: bool = False,
     multi_sv_gene: bool = False,
+    read_step: int = 4,
 ):
     """Build a complete randomized panel under ``work``: genome fasta,
     targets bed, errored sample SAM (and optionally a matched-normal SAM
@@ -318,7 +322,8 @@ def build_scenario(
             checks[gene] = plant_multi_sv(rng, genome, sam, gene, start, end)
         else:
             kind = kinds[gidx] if kinds else None
-            checks[gene] = plant_sv(rng, genome, sam, gene, start, end, kind)
+            checks[gene] = plant_sv(rng, genome, sam, gene, start, end, kind,
+                                    read_step=read_step)
         sam.add_background_pairs("chr1", start - 300, end + 300,
                                  step=30, prefix=f"bg{gidx}")
 
