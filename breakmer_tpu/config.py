@@ -129,6 +129,15 @@ class Config:
     nprocs: int = 1                # reference -p; host worker threads over
     #                                the batched path's host stages (runner)
     batch_regions: bool = False    # pack regions into one device kmer launch
+    kmer_regions_per_batch: int = 32  # regions per packed kmer launch. The
+    #                                TPU-relay launch floor is ~24 ms while a
+    #                                tier-packed 8-region upload is ~0.15 MB
+    #                                (~1 ms of transfer), so launch COUNT, not
+    #                                payload, bounds the batched kmer stage —
+    #                                measured 7 launches/0.2 s at rpb=8 on a
+    #                                100-gene deep panel. Padded-region FLOPs
+    #                                are negligible at these shapes. Rounded
+    #                                to a mesh-axis multiple when sharded.
     preload_alignments: bool = True  # parse the alignment file once, filter
                                      # per region in memory (False = rescan)
     preload_max_mb: Optional[float] = 4096  # bounded-memory guard: a .bam

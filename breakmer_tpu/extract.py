@@ -232,21 +232,35 @@ def extract_sv_reads_columnar(
     cl = cols["clip_left"][idx]
     cr = cols["clip_right"][idx]
     lseq = cols["lseq"][idx]
-    quals = cols["quals"][idx]
-    # clip base-quality gate (avg >= min_clip_qual), vectorized
-    ml = np.maximum(cl, 1)
-    mr = np.maximum(cr, 1)
-    col_ix = np.arange(quals.shape[1])
-    left_mask = col_ix[None, :] < ml[:, None]
-    right_lo = lseq - mr
-    right_mask = (col_ix[None, :] >= right_lo[:, None]) & (col_ix[None, :] < lseq[:, None])
-    q = np.where(quals >= 0, quals, 0)
-    left_avg = (q * left_mask).sum(1) / np.maximum(left_mask.sum(1), 1)
-    right_avg = (q * right_mask).sum(1) / np.maximum(right_mask.sum(1), 1)
-    softclip = considered & ~um & (
-        ((cl >= cfg.min_clip_len) & (left_avg >= cfg.min_clip_qual))
-        | ((cr >= cfg.min_clip_len) & (right_avg >= cfg.min_clip_qual))
-    )
+    # clip base-quality gate (avg >= min_clip_qual), vectorized — but only
+    # over rows whose clip is long enough to matter: at deep coverage the
+    # [n_records, max_seq] masked averages over EVERY candidate record
+    # were the hottest lines of the warm profile, and rows failing both
+    # length gates can never be softclip regardless of their averages
+    softclip = np.zeros(len(idx), dtype=bool)
+    cand_clip = np.nonzero(
+        considered & ~um
+        & ((cl >= cfg.min_clip_len) | (cr >= cfg.min_clip_len))
+    )[0]
+    if len(cand_clip):
+        quals = cols["quals"][idx[cand_clip]]
+        cl_c = cl[cand_clip]
+        cr_c = cr[cand_clip]
+        ls_c = lseq[cand_clip]
+        ml = np.maximum(cl_c, 1)
+        mr = np.maximum(cr_c, 1)
+        col_ix = np.arange(quals.shape[1])
+        left_mask = col_ix[None, :] < ml[:, None]
+        right_lo = ls_c - mr
+        right_mask = (col_ix[None, :] >= right_lo[:, None]) & (
+            col_ix[None, :] < ls_c[:, None]
+        )
+        q = np.where(quals >= 0, quals, 0)
+        left_avg = (q * left_mask).sum(1) / np.maximum(left_mask.sum(1), 1)
+        right_avg = (q * right_mask).sum(1) / np.maximum(right_mask.sum(1), 1)
+        softclip[cand_clip] = (
+            (cl_c >= cfg.min_clip_len) & (left_avg >= cfg.min_clip_qual)
+        ) | ((cr_c >= cfg.min_clip_len) & (right_avg >= cfg.min_clip_qual))
     keep_unmapped = considered & um
     keep_mate_um = considered & ~um & ~softclip & paired & mate_unmapped
     tlen = cols["tlen"][idx]

@@ -634,7 +634,7 @@ class Runner:
                 mesh.devices.size, "x".join(map(str, mesh.devices.shape)),
             )
         # batch G must divide evenly over the mesh regions axis
-        rpb = 8
+        rpb = max(1, int(cfg.kmer_regions_per_batch or 32))
         if mesh is not None:
             r_axis = mesh.devices.shape[0]
             rpb = r_axis * max(1, rpb // r_axis)
