@@ -489,6 +489,30 @@ def test_e2e_batched_nprocs_identical(run_events, tmp_path):
     assert rows(cfg2.analysis_dir) == rows(cfg1.analysis_dir)
 
 
+def test_e2e_kmer_rpb_identical(run_events, tmp_path):
+    """Calls and ledger rows must be invariant to the kmer launch packing
+    granularity (kmer_regions_per_batch is a pure launch-scheduling knob;
+    per-region postprocess makes results independent of grouping)."""
+    work, cfg, INS = run_events[:3]
+
+    def run_rpb(rpb):
+        c = Config(**{**cfg.__dict__,
+                      "batch_regions": True,
+                      "kmer_regions_per_batch": rpb,
+                      "analysis_dir": str(tmp_path / f"an_rpb{rpb}")})
+        r = Runner(c)
+        r.setup()
+        r.run()
+        out = read_svs_out(Path(c.analysis_dir) / "output" / "e2e_svs.out")
+        led = json.loads((Path(c.analysis_dir) / "ledger.json").read_text())
+        return out, {k: (v["rows"], v["stats"]) for k, v in led.items()}
+
+    out1, led1 = run_rpb(1)
+    out32, led32 = run_rpb(32)
+    assert out1 == out32
+    assert led1 == led32
+
+
 def test_e2e_bam_input(run_events, tmp_path):
     """Same panel through the BAM path: convert the SAM fixture to BAM and
     expect identical calls (config #1's 'bundled test BAM reads')."""
