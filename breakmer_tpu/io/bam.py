@@ -46,7 +46,16 @@ def _bgzf_decompress(path: str | Path) -> bytes:
     out = native.bgzf_inflate(raw)
     if out is not None:
         return out
-    return gzip.decompress(raw)
+    # the native inflate returns None both when the library is absent and
+    # when the stream is corrupt; the gzip fallback is the arbiter either
+    # way, with its EOFError/BadGzipFile/zlib errors wrapped so a bad
+    # input file fails with the path instead of a bare codec exception
+    try:
+        return gzip.decompress(raw)
+    except (EOFError, OSError, zlib.error) as exc:
+        raise ValueError(
+            f"{path}: truncated or corrupt BGZF/gzip stream ({exc})"
+        ) from exc
 
 
 BGZF_BLOCK_U = 0xFF00  # uncompressed payload per block when writing
@@ -116,18 +125,21 @@ class BamReader:
         data = _bgzf_decompress(path)
         if data[:4] != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file (bad magic)")
-        l_text = struct.unpack_from("<i", data, 4)[0]
-        off = 8 + l_text
-        self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode()
-        n_ref = struct.unpack_from("<i", data, off)[0]
-        off += 4
-        self.refs: List[Tuple[str, int]] = []
-        for _ in range(n_ref):
-            l_name = struct.unpack_from("<i", data, off)[0]
-            name = data[off + 4 : off + 4 + l_name - 1].decode()
-            l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
-            self.refs.append((name, l_ref))
-            off += 8 + l_name
+        try:
+            l_text = struct.unpack_from("<i", data, 4)[0]
+            off = 8 + l_text
+            self.header_text = data[8 : 8 + l_text].rstrip(b"\x00").decode()
+            n_ref = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            self.refs: List[Tuple[str, int]] = []
+            for _ in range(n_ref):
+                l_name = struct.unpack_from("<i", data, off)[0]
+                name = data[off + 4 : off + 4 + l_name - 1].decode()
+                l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
+                self.refs.append((name, l_ref))
+                off += 8 + l_name
+        except struct.error as exc:
+            raise ValueError(f"{path}: truncated BAM header") from exc
         self._data = data
         self._align_off = off
 
@@ -140,6 +152,14 @@ class BamReader:
         n = len(data)
         while off + 4 <= n:
             block_size = struct.unpack_from("<i", data, off)[0]
+            # 32 bytes is the fixed prefix of a BAM record; a smaller (or
+            # negative) block_size is corruption and would otherwise spin
+            # this loop forever (off += 4 + block_size can stop advancing)
+            if block_size < 32 or off + 4 + block_size > n:
+                raise ValueError(
+                    f"{self.path}: truncated or corrupt BAM record at "
+                    f"uncompressed offset {off}"
+                )
             rec = _parse_record(data, off + 4, self._ref_name)
             off += 4 + block_size
             yield rec
@@ -373,8 +393,16 @@ def stream_bam_records(path: str | Path) -> Iterator[SamRecord]:
 
         while ensure(4):
             block_size = struct.unpack_from("<i", buf, pos)[0]
+            if block_size < 32:  # see BamReader.__iter__: corrupt size
+                raise ValueError(
+                    f"{path}: truncated or corrupt BAM record"
+                )
             if not ensure(4 + block_size):
-                break  # trailing partial record: same tolerance as BamReader
+                # trailing partial record: raise like BamReader (the two
+                # ingest paths are identity-tested against each other)
+                raise ValueError(
+                    f"{path}: truncated or corrupt BAM record"
+                )
             yield _parse_record(buf, pos + 4, ref_name)
             pos += 4 + block_size
             if pos >= (1 << 20):  # trim consumed bytes; keeps buf ~1-2 MiB

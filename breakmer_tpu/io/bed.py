@@ -48,14 +48,22 @@ def read_targets_bed(
     genes: "OrderedDict[str, List[TargetInterval]]" = OrderedDict()
     wanted = set(gene_list) if gene_list else None
     with open(path) as fh:
-        for raw in fh:
+        for lineno, raw in enumerate(fh, 1):
             line = raw.strip()
             if not line or line.startswith(("#", "track", "browser")):
                 continue
             cols = line.split("\t")
             if len(cols) < 4:
                 cols = line.split()
-            chrom, start, end, name = cols[0], int(cols[1]), int(cols[2]), cols[3]
+            try:
+                chrom, start, end, name = (
+                    cols[0], int(cols[1]), int(cols[2]), cols[3]
+                )
+            except (IndexError, ValueError) as exc:
+                raise ValueError(
+                    f"{path}:{lineno}: malformed BED line (need "
+                    f"chrom/start/end/name): {line[:80]!r}"
+                ) from exc
             feature = cols[4] if len(cols) > 4 else None
             if wanted is not None and name not in wanted:
                 continue

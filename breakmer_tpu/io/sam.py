@@ -108,6 +108,11 @@ def parse_cigar(cigar: str) -> List[Tuple[int, str]]:
 
 def parse_sam_line(line: str) -> SamRecord:
     cols = line.rstrip("\n").split("\t")
+    if len(cols) < 11:
+        raise ValueError(
+            f"malformed SAM line ({len(cols)} fields, need >=11): "
+            f"{line[:80]!r}"
+        )
     rname = cols[2]
     rnext = cols[6]
     if rnext == "=":
@@ -153,10 +158,13 @@ def read_sam(
     pysam.fetch(region) analog, by linear scan (fine for targeted panels;
     BAM+index random access arrives with bam.py)."""
     with open(path) as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             if line.startswith("@"):
                 continue
-            rec = parse_sam_line(line)
+            try:
+                rec = parse_sam_line(line)
+            except (ValueError, IndexError) as exc:
+                raise ValueError(f"{path}:{lineno}: {exc}") from exc
             if region is not None and not record_overlaps(rec, region):
                 continue
             yield rec
