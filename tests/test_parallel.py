@@ -107,3 +107,77 @@ def test_pack_groups_by_tier():
     batches = pack_region_batches(small + big, regions_per_batch=8)
     shapes = {b.shape_key for b in batches}
     assert len(shapes) == 2  # big region did not inflate the small batch
+
+
+# ---------------------------------------------------------- packed fetch
+
+class _FakeBatch:
+    def __init__(self, names):
+        self.names = names
+
+
+def _rand_outputs(rng, G, K, frac_valid=0.02):
+    """Random [G,K] kmer-step outputs: mostly sentinel padding."""
+    sent = np.uint32(0xFFFFFFFF)
+    values = np.full((G, K), sent, dtype=np.uint32)
+    counts = np.zeros((G, K), dtype=np.int32)
+    for g in range(G):
+        n = max(1, int(K * frac_valid))
+        vals = rng.choice(K * 4, size=n, replace=False).astype(np.uint32)
+        slots = rng.choice(K, size=n, replace=False)
+        values[g, slots] = vals
+        counts[g, slots] = rng.integers(1, 50, size=n).astype(np.int32)
+    return values, counts
+
+
+def test_packed_fetch_identity():
+    """_compact_outputs + _postprocess_packed must reproduce the full
+    fetch (_postprocess) exactly, per region."""
+    from breakmer_tpu.parallel.kmer_batch import (
+        _compact_outputs, _postprocess, _postprocess_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    G, K = 6, 512
+    values, counts = _rand_outputs(rng, G, K)
+    batch = _FakeBatch([f"R{g}" if g != 3 else "" for g in range(G)])
+    full = _postprocess(batch, values, counts)
+    vals, gcs, n = jax.jit(
+        lambda v, c: _compact_outputs(v, c, G * 64)
+    )(values, counts)
+    assert int(n) >= 0
+    packed = _postprocess_packed(
+        batch, np.asarray(vals), np.asarray(gcs), int(n)
+    )
+    assert set(full) == set(packed)
+    for name in full:
+        np.testing.assert_array_equal(full[name][0], packed[name][0])
+        np.testing.assert_array_equal(full[name][1], packed[name][1])
+
+
+def test_packed_fetch_overflow_flag():
+    """cap smaller than the valid-entry count must yield n=-1 (host then
+    refetches full shapes), never a silently truncated buffer."""
+    from breakmer_tpu.parallel.kmer_batch import _compact_outputs
+
+    rng = np.random.default_rng(8)
+    values, counts = _rand_outputs(rng, 4, 512, frac_valid=0.5)
+    _v, _g, n = jax.jit(
+        lambda v, c: _compact_outputs(v, c, 16)
+    )(values, counts)
+    assert int(n) == -1
+
+
+def test_packed_fetch_giant_count_flag():
+    """A count >= 2^24 would corrupt the gid field; the step must flag
+    the batch for full refetch instead."""
+    from breakmer_tpu.parallel.kmer_batch import _compact_outputs
+
+    values = np.zeros((2, 8), dtype=np.uint32)
+    counts = np.zeros((2, 8), dtype=np.int32)
+    values[0, 0] = 123
+    counts[0, 0] = 1 << 24
+    _v, _g, n = jax.jit(
+        lambda v, c: _compact_outputs(v, c, 64)
+    )(values, counts)
+    assert int(n) == -1

@@ -705,3 +705,22 @@ def test_batched_with_normal_matches_serial(tmp_path):
     batched_events = r2.run()
     assert {e.genes for e in serial_events} == {"SOM", "SOM2"}
     assert rows(work / "serial") == rows(work / "batched")
+
+
+def test_e2e_batched_packed_overflow_fallback(run_events, tmp_path, monkeypatch):
+    """Force the packed kmer fetch to overflow (1 slot/region) so every
+    batch takes the full-shape refetch fallback — calls must still equal
+    the serial path exactly."""
+    import breakmer_tpu.parallel.kmer_batch as KB
+
+    monkeypatch.setattr(KB, "_PACK_SLOTS_PER_REGION", 1)
+    work, cfg, INS = run_events[:3]
+    cfg2 = Config(**{**cfg.__dict__,
+                     "batch_regions": True,
+                     "analysis_dir": str(tmp_path / "analysis_overflow")})
+    runner = Runner(cfg2)
+    runner.setup()
+    runner.run()
+    serial = read_svs_out(Path(cfg.analysis_dir) / "output" / "e2e_svs.out")
+    batched = read_svs_out(Path(cfg2.analysis_dir) / "output" / "e2e_svs.out")
+    assert batched == serial
