@@ -100,8 +100,17 @@ class SeedIndex:
         if total == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         qp = np.repeat(q_pos, counts)
-        # flatten ranges [lo_i, hi_i) into one index vector
-        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi) if h > l])
+        # flatten ranges [lo_i, hi_i) into one index vector WITHOUT a
+        # per-k-mer Python loop (the old arange-per-range comprehension
+        # ran ~150k iterations per warm 400-gene panel pass and was the
+        # single largest host cost of the realign stage): each output
+        # slot j in range i holds lo_i + (j - ragged_start_i)
+        ragged_starts = np.cumsum(counts) - counts
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(ragged_starts, counts)
+            + np.repeat(lo, counts)
+        )
         return qp, self._pos[idx]
 
     def candidates(
