@@ -41,6 +41,7 @@ _HEADER_LINES = [
     '##INFO=<ID=GENES,Number=1,Type=String,Description="Target gene(s) of the call">',
     '##INFO=<ID=CONTIG,Number=1,Type=String,Description="Assembled contig id">',
     '##INFO=<ID=SUBTYPE,Number=1,Type=String,Description="Caller sv_subtype">',
+    '##INFO=<ID=INSSEQ,Number=1,Type=String,Description="Inserted sequence on the reference forward strand">',
     '##ALT=<ID=DEL,Description="Deletion">',
     '##ALT=<ID=INS,Description="Insertion">',
     '##ALT=<ID=DUP:TANDEM,Description="Tandem duplication">',
@@ -51,6 +52,28 @@ _HEADER_LINES = [
 ]
 
 RefBaseFn = Callable[[str, int], str]
+
+_RC = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
+
+
+def _ins_seq(ev: SVEvent) -> Optional[str]:
+    """Inserted bases on the reference forward strand, recovered from the
+    assembled contig: ``junction_q`` holds the forward-contig span of the
+    novel bases for both insertion shapes (indel 'I' gap and two-segment
+    'ins' junction — call/events.py:121,201). None when the span is
+    missing, inconsistent with the event size, or the junction strands
+    disagree (a mixed-strand junction leaves the insert's reference
+    orientation ambiguous)."""
+    if len(ev.junction_q) != 2 or not ev.contig_seq:
+        return None
+    lo, hi = ev.junction_q
+    if not (0 <= lo < hi <= len(ev.contig_seq)) or hi - lo != ev.size:
+        return None
+    strands = ev.strands.split("/")
+    if len(set(strands)) != 1:
+        return None
+    seq = ev.contig_seq[lo:hi]
+    return seq.translate(_RC)[::-1] if strands[0] == "-" else seq
 
 
 def _ref_base(ref_base_at: Optional[RefBaseFn], chrom: str, pos: int) -> str:
@@ -141,8 +164,12 @@ def event_vcf_records(
         return _bnd_pair(ev, rid, ref_base_at)
     chrom, start, end = ev.breakpoints[0]
     if ev.sv_type == "indel" and ev.sv_subtype == "I":
-        return [_symbolic(ev, rid, "<INS>", "INS", start, start, ev.size,
+        recs = [_symbolic(ev, rid, "<INS>", "INS", start, start, ev.size,
                           ref_base_at)]
+        ins = _ins_seq(ev)
+        if ins:
+            recs[0]["info"]["INSSEQ"] = ins
+        return recs
     if (ev.sv_type, ev.sv_subtype) in (("indel", "D"), ("rearrangement", "del")):
         e = end if end is not None else start + ev.size
         return [_symbolic(ev, rid, "<DEL>", "DEL", start, e, -ev.size,
@@ -159,8 +186,12 @@ def event_vcf_records(
         return [_symbolic(ev, rid, "<INV>", "INV", lo, hi, hi - lo,
                           ref_base_at)]
     if ev.sv_subtype == "ins":
-        return [_symbolic(ev, rid, "<INS>", "INS", start, start, ev.size,
+        recs = [_symbolic(ev, rid, "<INS>", "INS", start, start, ev.size,
                           ref_base_at)]
+        ins = _ins_seq(ev)
+        if ins:
+            recs[0]["info"]["INSSEQ"] = ins
+        return recs
     # unknown subtype: still emit something inspectable
     return [_symbolic(ev, rid, "<SV>", ev.sv_type.upper(), start, end,
                       ev.size or None, ref_base_at)]

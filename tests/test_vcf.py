@@ -119,3 +119,38 @@ def test_ref_base_fallback_without_fasta():
     ev = _ev("indel", "D", [("chr1", 10, 20)], size=10)
     (r,) = event_vcf_records(ev, "x", None)
     assert r["ref"] == "N"
+
+
+def test_insseq_forward_strand():
+    """INS records carry the inserted bases recovered from the contig via
+    the forward-contig junction span (INSSEQ)."""
+    contig = "AAAA" + "TTGACCATGG" + "CCCC"
+    ev = _ev("indel", "I", [("chr1", 1300, None)], size=10,
+             contig_seq=contig, junction_q=[4, 14])
+    (r,) = event_vcf_records(ev, "x", _base_at)
+    assert r["info"]["INSSEQ"] == "TTGACCATGG"
+
+
+def test_insseq_minus_strand_revcomps():
+    contig = "AAAA" + "TTGACCATGG" + "CCCC"
+    ev = _ev("indel", "I", [("chr1", 1300, None)], strands="-", size=10,
+             contig_seq=contig, junction_q=[4, 14])
+    (r,) = event_vcf_records(ev, "x", _base_at)
+    assert r["info"]["INSSEQ"] == "CCATGGTCAA"  # revcomp of the slice
+
+
+def test_insseq_omitted_when_ambiguous_or_inconsistent():
+    # mixed-strand junction: reference orientation of the insert ambiguous
+    ev = _ev("rearrangement", "ins", [("chr1", 1300, None)], strands="+/-",
+             size=4, contig_seq="AAAATTTTCCCC", junction_q=[4, 8])
+    (r,) = event_vcf_records(ev, "x", _base_at)
+    assert "INSSEQ" not in r["info"]
+    # junction span inconsistent with the event size
+    ev = _ev("indel", "I", [("chr1", 1300, None)], size=10,
+             contig_seq="AAAATTTTCCCC", junction_q=[4, 8])
+    (r,) = event_vcf_records(ev, "x", _base_at)
+    assert "INSSEQ" not in r["info"]
+    # no junction info at all (default empty junction_q)
+    ev = _ev("rearrangement", "ins", [("chr1", 1300, None)], size=4)
+    (r,) = event_vcf_records(ev, "x", _base_at)
+    assert "INSSEQ" not in r["info"]
