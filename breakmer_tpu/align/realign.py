@@ -284,8 +284,9 @@ def _realign_contigs(
         # ---- per-contig winner processing (host) --------------------------
         for wk, (start, count) in zip(active, spans):
             sl = slice(start, start + count)
-            local = np.argsort(-scores[sl], kind="stable")
-            best = int(local[0])
+            # first index of the max score — the same winner the stable
+            # argsort-descending picked (earliest-window tie-break)
+            best = int(np.argmax(scores[sl]))
             if int(scores[sl][best]) < min_seg_score:
                 if genome is not None and not wk.use_genome:
                     wk.use_genome = True  # retry genome-wide next round
