@@ -88,13 +88,36 @@ def plant_sv(
         # insertion can slide where the novel seq's edge matches the ref
         h = _homology(g[:mid], ins) + _homology(ins, g[mid:mid + 40][::-1])
         tol = 3 + h
+        # any equivalent placement reconstructs the SAME alt haplotype:
+        # content check below is representation-invariant
+        alt_true = g[mid - 150:mid] + ins + g[mid:mid + 150]
 
         def check(evs):
+            from breakmer_tpu.vcf import _ins_seq
+
             hits = [e for e in evs if e.sv_subtype == "I"
                     and abs(e.size - size) <= 2
                     and abs(e.breakpoints[0][1] - mid) <= tol]
             if not hits:
                 return [f"ins@{mid}+{size} not called: {_fmt(evs)}"]
+            # exact-size hits must also reproduce the inserted BASES:
+            # splice the call's INSSEQ into the reference at its called
+            # junction and require the local alt haplotype to match the
+            # planted one (slide-invariant; consensus must have fixed
+            # the read errors)
+            for e in hits:
+                if e.size != size:
+                    continue
+                s = _ins_seq(e)
+                if s is None:
+                    continue  # mixed-strand junction: orientation ambiguous
+                p = e.breakpoints[0][1]
+                w = g[max(0, p - 30):p] + s + g[p:p + 30]
+                if w not in alt_true:
+                    return [
+                        f"ins@{mid} content mismatch: called {p}+{s} "
+                        f"vs planted {ins}"
+                    ]
             return []
 
     elif kind == "del":
