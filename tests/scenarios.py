@@ -93,7 +93,7 @@ def plant_sv(
         alt_true = g[mid - 150:mid] + ins + g[mid:mid + 150]
 
         def check(evs):
-            from breakmer_tpu.vcf import _ins_seq
+            from breakmer_tpu.vcf import event_vcf_records
 
             hits = [e for e in evs if e.sv_subtype == "I"
                     and abs(e.size - size) <= 2
@@ -101,16 +101,28 @@ def plant_sv(
             if not hits:
                 return [f"ins@{mid}+{size} not called: {_fmt(evs)}"]
             # exact-size hits must also reproduce the inserted BASES:
-            # splice the call's INSSEQ into the reference at its called
-            # junction and require the local alt haplotype to match the
-            # planted one (slide-invariant; consensus must have fixed
-            # the read errors)
+            # read INSSEQ from the actual VCF emission path
+            # (event_vcf_records, not the private helper — ADVICE r3 #2),
+            # splice it into the reference at the called junction and
+            # require the local alt haplotype to match the planted one
+            # (slide-invariant; consensus must have fixed the read errors)
             for e in hits:
                 if e.size != size:
                     continue
-                s = _ins_seq(e)
+                recs = event_vcf_records(e, "chk")
+                s = recs[0]["info"].get("INSSEQ") if recs else None
                 if s is None:
-                    continue  # mixed-strand junction: orientation ambiguous
+                    # only a genuinely mixed-strand junction leaves the
+                    # insert orientation ambiguous; a same-strand call
+                    # with no INSSEQ means junction_q regressed
+                    # (ADVICE r3 #1: do not silently skip that case)
+                    if len(set(e.strands.split("/"))) != 1:
+                        continue
+                    return [
+                        f"ins@{mid}: exact-size same-strand call emitted "
+                        f"no INSSEQ (strands {e.strands}, "
+                        f"junction_q {e.junction_q})"
+                    ]
                 p = e.breakpoints[0][1]
                 w = g[max(0, p - 30):p] + s + g[p:p + 30]
                 if w not in alt_true:
