@@ -68,6 +68,14 @@ class AlignSegment:
     alignment: Alignment        # window-local, strand-oriented query coords
     in_target: bool = True
     repeat_frac: float = 0.0    # filled by the filter stack
+    # best SW score among candidate windows at OTHER loci (genomically
+    # disjoint from the winner) in the round that accepted this segment;
+    # -1 = unknown (not produced by realign_contigs). Placement-uniqueness
+    # evidence for the repeat filter's rescue path (call/filters.py):
+    # a low runner-up means no competing locus explains this segment.
+    # Round-1 margins see region-local candidates only (the reference's
+    # blat-vs-region first pass [recon]); genome windows join from pass 2.
+    second_score: int = -1
 
     @property
     def identity(self) -> float:
@@ -132,6 +140,7 @@ def _process_winner(
     min_seg_score: int,
     full_hit_cov: float,
     max_q_gap: int,
+    second_score: int = -1,
 ) -> None:
     """Host traceback + accept/mask for one contig's round winner;
     updates work in place (sets done when no further rounds are useful)."""
@@ -175,6 +184,7 @@ def _process_winner(
             mismatches=aln.mismatches,
             alignment=aln,
             in_target=is_region_window,
+            second_score=second_score,
         )
         if seg.identity < min_identity:
             continue
@@ -293,11 +303,32 @@ def _realign_contigs(
                 else:
                     wk.done = True
                 continue
+            # runner-up among windows genomically DISJOINT from the winner
+            # (either strand): the round's free placement-uniqueness
+            # margin (AlignSegment.second_score). Windows overlapping the
+            # winner are alternative placements of the SAME locus, not
+            # competitors.
+            bw = wk.windows[best]
+            b_off = wk.region.start if best < wk.n_region_windows else 0
+            bc = bw.chrom or wk.region.chrom
+            bs, be = b_off + bw.t_start, b_off + bw.t_end
+            second = 0
+            for j in range(count):
+                if j == best:
+                    continue
+                w2 = wk.windows[j]
+                off2 = wk.region.start if j < wk.n_region_windows else 0
+                c2 = w2.chrom or wk.region.chrom
+                if c2 == bc and off2 + w2.t_start < be and off2 + w2.t_end > bs:
+                    continue
+                sc = int(scores[sl][j])
+                if sc > second:
+                    second = sc
             _process_winner(
                 wk, best, int(scores[sl][best]),
                 int(q_ends[sl][best]), int(t_ends[sl][best]),
                 params, min_seg_len, min_identity, min_seg_score,
-                full_hit_cov, max_q_gap,
+                full_hit_cov, max_q_gap, second_score=second,
             )
             # pass 2 and later consult the genome (reference gfClient leg)
             wk.use_genome = genome is not None

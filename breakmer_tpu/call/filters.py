@@ -99,6 +99,20 @@ def check_event(
             frac = rmask.overlap_fraction(seg.chrom, seg.t_start, seg.t_end)
             seg.repeat_frac = frac
             if frac > cfg.max_repeat_frac:
+                # placement-uniqueness rescue: the realigner recorded the
+                # best score any DISJOINT locus achieved for this segment
+                # (second_score, -1 = unknown -> no rescue). When no
+                # competing placement comes close, the repeat annotation
+                # alone does not make the mapping ambiguous — reject only
+                # truly multi-mapping anchors (config.repeat_uniq_rescue).
+                second = getattr(seg, "second_score", -1)
+                if (
+                    cfg.repeat_uniq_rescue
+                    and second >= 0
+                    and seg.score > 0
+                    and second <= cfg.repeat_uniq_ratio * seg.score
+                ):
+                    continue
                 return f"repeat_overlap:{frac:.2f}>{cfg.max_repeat_frac}"
     if not cfg.keep_intron_vars and _in_intron_only(ev, target):
         return "intron_only"

@@ -114,6 +114,18 @@ class Config:
     #                                per-PAIR (qname-deduped); the default
     #                                per-region map counts per RECORD (parity)
     max_repeat_frac: float = 0.75  # reject segment if rmask overlap above this
+    repeat_uniq_rescue: bool = True  # a repeat-masked segment still passes
+    #                                when its realignment was genomically
+    #                                unambiguous: the best competing window
+    #                                at a DIFFERENT locus scored <=
+    #                                repeat_uniq_ratio x the winner
+    #                                (AlignSegment.second_score). Repeat
+    #                                ANNOTATION alone is not evidence of
+    #                                mismapping when no competing placement
+    #                                exists; without this, every junction
+    #                                inside a diverged repeat copy is
+    #                                uncallable (r4 repeat-genome sweeps).
+    repeat_uniq_ratio: float = 0.9
     min_complexity: float = 0.25   # low-complexity contig filter threshold
     keep_repeat_regions: bool = False
     keep_intron_vars: bool = False

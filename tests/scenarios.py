@@ -63,17 +63,39 @@ def plant_sv(
     end: int,
     kind: Optional[str] = None,
     read_step: int = 4,
+    vaf: float = 1.0,
 ) -> Tuple[str, Checker]:
     """Plant one random SV of ``kind`` (random if None) inside
     [start+200, end-200) on chr1; tile errored junction reads over it.
     ``read_step`` sets junction-read tiling density (haplotype depth
     ~= read_len/read_step = 25x at the default 4 — the envelope sweep
-    titrates it). Returns (kind, checker)."""
+    titrates it). ``vaf`` < 1 dilutes the junction with reference-
+    haplotype reads over the same window at the complementary density, so
+    TOTAL junction depth stays ~read_len/read_step while the alt fraction
+    drops — the tumor-purity axis (VERDICT r3 missing #3; somatic panels
+    live at 5-25% VAF). Returns (kind, checker)."""
     if kind is None:
         kind = str(rng.choice(SV_KINDS))
     span = end - start
     mid = start + int(rng.integers(200, span - 200))
     g = genome["chr1"]
+
+    def tile(hap: Haplotype, w0: int, w1: int, prefix: str,
+             ref_chrom: str = "chr1", ref_lo: int = start,
+             ref_hi: int = end) -> None:
+        """Alt-haplotype junction reads + (vaf<1) reference-haplotype
+        dilution reads over the matching window."""
+        if vaf >= 1.0:
+            sam.add_haplotype_reads(hap, w0, w1, step=read_step,
+                                    prefix=prefix)
+            return
+        astep = read_step / vaf  # fractional steps supported (depth sweeps)
+        sam.add_haplotype_reads(hap, w0, w1, step=astep, prefix=prefix)
+        rstep = read_step / (1.0 - vaf)
+        ref_hap = Haplotype(genome, [RefBlock(ref_chrom, ref_lo, ref_hi)])
+        hi = min(w1, len(ref_hap.seq))
+        sam.add_haplotype_reads(ref_hap, max(0, w0), hi, step=rstep,
+                                prefix=prefix + "w")
 
     if kind == "ins":
         # >= indel_size (15, the reference's min reportable indel)
@@ -83,8 +105,7 @@ def plant_sv(
             RefBlock("chr1", start, mid), NovelBlock(ins),
             RefBlock("chr1", mid, end),
         ])
-        sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=read_step, prefix=f"{gene}r")
+        tile(hap, mid - start - 160, mid - start + 140, f"{gene}r")
         # insertion can slide where the novel seq's edge matches the ref
         h = _homology(g[:mid], ins) + _homology(ins, g[mid:mid + 40][::-1])
         tol = 3 + h
@@ -137,8 +158,7 @@ def plant_sv(
         hap = Haplotype(genome, [
             RefBlock("chr1", start, mid), RefBlock("chr1", mid + size, end),
         ])
-        sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=read_step, prefix=f"{gene}r")
+        tile(hap, mid - start - 160, mid - start + 140, f"{gene}r")
         # left-align the planted truth like the caller does
         mid_norm = mid
         while mid_norm > 0 and g[mid_norm - 1] == g[mid_norm + size - 1]:
@@ -157,8 +177,7 @@ def plant_sv(
         hap = Haplotype(genome, [
             RefBlock("chr1", start, mid), RefBlock("chr1", mid - size, end),
         ])
-        sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=read_step, prefix=f"{gene}r")
+        tile(hap, mid - start - 160, mid - start + 140, f"{gene}r")
         # the dup junction joins g[mid-1] | g[mid-size]; homology there
         # slides both breakpoints together (size is exact regardless)
         h = _homology(g[:mid], g[:mid - size]) + _homology(
@@ -185,9 +204,8 @@ def plant_sv(
             RefBlock("chr1", start, mid), NovelBlock(inv),
             RefBlock("chr1", mid + size, end),
         ])
-        sam.add_haplotype_reads(hap, mid - start - 160,
-                                mid - start + size + 140, step=read_step,
-                                prefix=f"{gene}r")
+        tile(hap, mid - start - 160, mid - start + size + 140,
+             f"{gene}r")
         # exact equivalent placements: inverting [a', b') yields the
         # identical haplotype when the junction context is (near-)
         # palindromic. Two independent families: SHIFT (both ends move the
@@ -239,8 +257,7 @@ def plant_sv(
         hap = Haplotype(genome, [
             RefBlock("chr1", start, mid), RefBlock("chr2", p2, p2 + 450),
         ])
-        sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
-                                step=read_step, prefix=f"{gene}r")
+        tile(hap, mid - start - 160, mid - start + 140, f"{gene}r")
         sam.add_discordant_pairs("chr1", mid, "chr2", p2, n=5,
                                  prefix=f"{gene}d")
         # junction slides left where g1/g2 suffixes agree, right where
@@ -266,6 +283,15 @@ def plant_sv(
     else:
         raise ValueError(kind)
 
+    # junction coordinates for repeat-context stats (mask_distance)
+    if kind == "trl":
+        check.junctions = [("chr1", mid), ("chr2", p2)]
+    elif kind in ("del", "inv"):
+        check.junctions = [("chr1", mid), ("chr1", mid + size)]
+    elif kind == "dup":
+        check.junctions = [("chr1", mid - size), ("chr1", mid)]
+    else:
+        check.junctions = [("chr1", mid)]
     return kind, check
 
 
@@ -315,6 +341,7 @@ def plant_multi_sv(
             fails.append(f"multi: del@{m2}+{del_size} not called: {_fmt(evs)}")
         return fails
 
+    check.junctions = [("chr1", m1), ("chr1", m2)]
     return "multi", check
 
 
@@ -327,25 +354,52 @@ def build_scenario(
     with_normal_germline: bool = False,
     multi_sv_gene: bool = False,
     read_step: int = 4,
+    genome_model=None,
+    meta_out: Optional[dict] = None,
+    polymorphism=None,
+    vaf: float = 1.0,
 ):
     """Build a complete randomized panel under ``work``: genome fasta,
     targets bed, errored sample SAM (and optionally a matched-normal SAM
     carrying one germline SV that must be subtracted).
 
+    ``genome_model`` (a tests.fixtures.GenomeModel) swaps the
+    uniform-random background for a repeat-rich genome and wires its
+    ground-truth feature BED in as ``repeat_mask_file`` (VERDICT r3
+    missing #1). ``meta_out`` (dict, mutated in place) receives
+    ``junction_mask_dist``: per-gene distances from each planted junction
+    to the nearest repeat feature (0 = inside), for sweep artifacts.
+
     Returns (cfg_kwargs, checks: {gene: (kind, checker)}); checker for the
     germline gene asserts NO somatic call survives subtraction.
     """
     from breakmer_tpu.io.fasta import write_fasta
+    from tests.fixtures import mask_distance, realistic_genome, write_mask_bed
 
     rng = np.random.default_rng(seed)
     span, gap = 1400, 700
     n_slots = n_genes + (1 if with_normal_germline else 0)
-    genome = {
-        "chr1": rand_seq(1000 + seed, n_slots * (span + gap) + 4000),
-        "chr2": rand_seq(7000 + seed, 6000),
-    }
+    mask = None
+    if genome_model is not None:
+        genome, mask = realistic_genome(
+            1000 + seed,
+            {"chr1": n_slots * (span + gap) + 4000, "chr2": 6000},
+            genome_model,
+        )
+        write_mask_bed(work / "rmask.bed", mask)
+    else:
+        genome = {
+            "chr1": rand_seq(1000 + seed, n_slots * (span + gap) + 4000),
+            "chr2": rand_seq(7000 + seed, 6000),
+        }
     write_fasta(work / "genome.fa", genome)
-    sam = SamBuilder(genome, error_model=error_model, error_seed=seed)
+    germ = None
+    if polymorphism is not None:
+        from tests.fixtures import GermlineVariants
+
+        germ = GermlineVariants(genome, 300 + seed, polymorphism)
+    sam = SamBuilder(genome, error_model=error_model, error_seed=seed,
+                     germline=germ)
     checks: Dict[str, Tuple[str, Checker]] = {}
     lines = []
     for gidx in range(n_genes):
@@ -358,7 +412,7 @@ def build_scenario(
         else:
             kind = kinds[gidx] if kinds else None
             checks[gene] = plant_sv(rng, genome, sam, gene, start, end, kind,
-                                    read_step=read_step)
+                                    read_step=read_step, vaf=vaf)
         sam.add_background_pairs("chr1", start - 300, end + 300,
                                  step=30, prefix=f"bg{gidx}")
 
@@ -374,6 +428,8 @@ def build_scenario(
         rearr_sr_thresh=2,
         batch_regions=True,
     )
+    if mask is not None:
+        cfg_kwargs["repeat_mask_file"] = str(work / "rmask.bed")
 
     if with_normal_germline:
         start = 2000 + n_genes * (span + gap)
@@ -392,8 +448,10 @@ def build_scenario(
         sam.add_background_pairs("chr1", start - 300, end + 300,
                                  step=30, prefix=f"bg{n_genes}")
         # independently-errored normal carrying the SAME germline insertion
+        # same individual: the normal shares the sample's germline
+        # variant track (independent read haplotype draws + errors)
         nsam = SamBuilder(genome, error_model=error_model,
-                          error_seed=seed + 100000)
+                          error_seed=seed + 100000, germline=germ)
         nsam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
                                  step=4, prefix="n")
         nsam.add_background_pairs("chr1", start - 300, end + 300,
@@ -411,19 +469,48 @@ def build_scenario(
 
     (work / "targets.bed").write_text("".join(lines))
     sam.write(work / "sample.sam")
+    if meta_out is not None and mask is not None:
+        # per gene: [(dist_to_nearest_feature, feature_kind), ...] per
+        # planted junction (dist 0 = junction inside the feature)
+        meta_out["junction_mask_dist"] = {
+            gene: [mask_distance(mask, c, p)
+                   for c, p in getattr(check, "junctions", [])]
+            for gene, (_, check) in checks.items()
+        }
     return cfg_kwargs, checks
 
 
 def build_fp_scenario(seed: int, work, n_genes: int = 4,
-                      error_model: Optional[ErrorModel] = ErrorModel()):
+                      error_model: Optional[ErrorModel] = ErrorModel(),
+                      genome_model=None, polymorphism=None):
     """SV-free noisy panel: background coverage with errors only; any call
-    is a false positive (VERDICT r2 missing #5)."""
+    is a false positive (VERDICT r2 missing #5). ``genome_model`` swaps in
+    a repeat-rich background + its rmask BED (VERDICT r3 missing #1);
+    ``polymorphism`` adds benign het/hom SNPs and 1-6 bp indels WITHOUT a
+    matched normal — every SNP mints sample-only k-mers, the classic FP
+    pressure on k-mer subtraction (VERDICT r3 missing #2)."""
     from breakmer_tpu.io.fasta import write_fasta
+    from tests.fixtures import (
+        GermlineVariants,
+        realistic_genome,
+        write_mask_bed,
+    )
 
     span, gap = 1400, 700
-    genome = {"chr1": rand_seq(5000 + seed, n_genes * (span + gap) + 4000)}
+    mask = None
+    if genome_model is not None:
+        genome, mask = realistic_genome(
+            5000 + seed, {"chr1": n_genes * (span + gap) + 4000},
+            genome_model,
+        )
+        write_mask_bed(work / "rmask.bed", mask)
+    else:
+        genome = {"chr1": rand_seq(5000 + seed, n_genes * (span + gap) + 4000)}
     write_fasta(work / "genome.fa", genome)
-    sam = SamBuilder(genome, error_model=error_model, error_seed=seed)
+    germ = (GermlineVariants(genome, 300 + seed, polymorphism)
+            if polymorphism is not None else None)
+    sam = SamBuilder(genome, error_model=error_model, error_seed=seed,
+                     germline=germ)
     lines = []
     for gidx in range(n_genes):
         start = 2000 + gidx * (span + gap)
@@ -435,7 +522,7 @@ def build_fp_scenario(seed: int, work, n_genes: int = 4,
                                  step=12, prefix=f"bg{gidx}")
     (work / "targets.bed").write_text("".join(lines))
     sam.write(work / "sample.sam")
-    return dict(
+    out = dict(
         analysis_name="fp",
         analysis_dir=str(work / "analysis"),
         targets_bed_file=str(work / "targets.bed"),
@@ -447,3 +534,6 @@ def build_fp_scenario(seed: int, work, n_genes: int = 4,
         rearr_sr_thresh=2,
         batch_regions=True,
     )
+    if mask is not None:
+        out["repeat_mask_file"] = str(work / "rmask.bed")
+    return out

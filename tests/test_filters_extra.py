@@ -29,6 +29,43 @@ def test_user_filter_suppresses_event():
     assert check_event(ev2, cfg, user_filter=uf) is None
 
 
+def _seg(score=200, second=0, t_start=100, t_end=300):
+    from breakmer_tpu.align.realign import AlignSegment
+
+    return AlignSegment(
+        q_start=0, q_end=t_end - t_start, chrom="chr1", t_start=t_start,
+        t_end=t_end, strand="+", score=score, matches=t_end - t_start,
+        mismatches=0, alignment=None, second_score=second,
+    )
+
+
+def test_repeat_filter_uniqueness_rescue():
+    """A fully-repeat-masked segment passes when its realignment had no
+    competing locus (second_score far below score) and is rejected when a
+    disjoint locus scored comparably or uniqueness is unknown (-1) or the
+    rescue knob is off (r4: junctions inside diverged repeat copies must
+    stay callable without giving multi-mapping anchors a pass)."""
+    rm = RepeatMask({"chr1": [(0, 1000)]})  # everything masked
+    # unambiguous placement: runner-up 40 <= 0.9 * 200 -> rescued
+    ev = _dummy_event(segments=[_seg(score=200, second=40)])
+    assert check_event(ev, _cfg(), rmask=rm) is None
+    # competing locus at 95% of the winner -> still rejected
+    ev2 = _dummy_event(segments=[_seg(score=200, second=190)])
+    r2 = check_event(ev2, _cfg(), rmask=rm)
+    assert r2 and r2.startswith("repeat_overlap")
+    # unknown margin (-1, segment not from realign_contigs) -> no rescue
+    ev3 = _dummy_event(segments=[_seg(score=200, second=-1)])
+    r3 = check_event(ev3, _cfg(), rmask=rm)
+    assert r3 and r3.startswith("repeat_overlap")
+    # rescue disabled -> old blanket behavior
+    ev4 = _dummy_event(segments=[_seg(score=200, second=40)])
+    r4 = check_event(ev4, _cfg(repeat_uniq_rescue=False), rmask=rm)
+    assert r4 and r4.startswith("repeat_overlap")
+    # keep_repeat_regions still bypasses entirely
+    ev5 = _dummy_event(segments=[_seg(score=200, second=190)])
+    assert check_event(ev5, _cfg(keep_repeat_regions=True), rmask=rm) is None
+
+
 def test_config_validate_missing():
     cfg = Config()
     with pytest.raises(ValueError, match="targets_bed_file"):

@@ -46,3 +46,75 @@ def test_random_planted_svs_recovered(seed, tmp_path):
         failures += [f"seed {seed} {gene} ({kind}): {f}"
                      for f in check(evs)]
     assert not failures, "\n".join(failures)
+
+
+def _run_checks(cfg_kwargs, checks, events):
+    failures = []
+    for gene, (kind, check) in checks.items():
+        evs = [e for e in events if e.genes.split(",")[0] == gene]
+        failures += [f"{gene} ({kind}): {f}" for f in check(evs)]
+    return failures
+
+
+def test_repeat_genome_svs_recovered(tmp_path):
+    """Planted SVs on the repeat-rich GenomeModel background, with the
+    ground-truth rmask BED wired in — junctions land inside diverged alu
+    copies and the placement-uniqueness rescue must keep them callable
+    (r4; deep sweep: ACCURACY_REPEATS_r04.json). Seed 11 puts both trl junctions AND both
+    dup junctions inside alu copies (triaged r4)."""
+    from tests.fixtures import GenomeModel
+
+    meta = {}
+    cfg_kwargs, checks = build_scenario(
+        11, tmp_path, n_genes=4, kinds=["trl", "ins", "del", "dup"],
+        genome_model=GenomeModel(), meta_out=meta,
+    )
+    assert cfg_kwargs["repeat_mask_file"].endswith("rmask.bed")
+    assert any(d == 0 for dists in meta["junction_mask_dist"].values()
+               for d, _ in dists), "fixture drift: no junction in a repeat"
+    runner = Runner(Config(**cfg_kwargs))
+    runner.setup()
+    failures = _run_checks(cfg_kwargs, checks, runner.run())
+    assert not failures, "\n".join(failures)
+
+
+def test_polymorphic_sample_no_fp_and_svs_recovered(tmp_path):
+    """Benign germline polymorphism (~1 het SNP / 800 bp + 1-6 bp het
+    indels, no matched normal) must neither suppress planted SVs nor
+    mint calls of its own (r4; deep sweep: ACCURACY_POLY_r04.json)."""
+    from tests.fixtures import Polymorphism
+    from tests.scenarios import build_fp_scenario
+
+    (tmp_path / "sv").mkdir()
+    (tmp_path / "fp").mkdir()
+    cfg_kwargs, checks = build_scenario(
+        3, tmp_path / "sv", n_genes=4, kinds=["ins", "del", "trl", "inv"],
+        polymorphism=Polymorphism(),
+    )
+    runner = Runner(Config(**cfg_kwargs))
+    runner.setup()
+    failures = _run_checks(cfg_kwargs, checks, runner.run())
+    assert not failures, "\n".join(failures)
+
+    fp_kwargs = build_fp_scenario(3, tmp_path / "fp", n_genes=2,
+                                  polymorphism=Polymorphism())
+    runner2 = Runner(Config(**fp_kwargs))
+    runner2.setup()
+    fp_events = runner2.run()
+    assert not fp_events, [
+        (e.genes, e.sv_type, e.sv_subtype, e.size) for e in fp_events
+    ]
+
+
+def test_low_vaf_svs_recovered(tmp_path):
+    """VAF 0.25 at ~33x total junction depth: alt-haplotype reads diluted
+    3:1 by reference reads over the same window; all four planted SVs
+    must still be called (r4; full grid: ENVELOPE_VAF_r04.json)."""
+    cfg_kwargs, checks = build_scenario(
+        11, tmp_path, n_genes=4, kinds=["ins", "del", "dup", "trl"],
+        read_step=3, vaf=0.25,
+    )
+    runner = Runner(Config(**cfg_kwargs))
+    runner.setup()
+    failures = _run_checks(cfg_kwargs, checks, runner.run())
+    assert not failures, "\n".join(failures)

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""VAF (tumor-purity) titration envelope (VERDICT r3 missing #3).
+
+The flat accuracy sweeps plant near-pure SVs (alt haplotype tiled densely
+at the junction). Somatic panels live at 5-25% VAF: this sweep holds
+TOTAL junction depth fixed and dilutes the alt haplotype with reference-
+haplotype reads over the same window (tests/scenarios.plant_sv vaf=),
+mapping minimum detectable VAF per SV type:
+
+  * vaf   in {0.5, 0.25, 0.1, 0.05}
+  * depth in {100x, 250x} total junction coverage (read_step 1.0 / 0.4)
+
+Every cell runs N random seeds of the 4-gene randomized panel (one SV of
+random kind per gene, incl. trl) WITH the sequencing-error model.
+
+Emits ENVELOPE_VAF_r04.json. Usage:
+  python tools/sweep_envelope_vaf.py [--seeds 12] [--out ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from breakmer_tpu.config import Config  # noqa: E402
+from breakmer_tpu.runner import Runner  # noqa: E402
+from tests.scenarios import build_scenario  # noqa: E402
+
+READ_LEN = 100
+VAFS = [0.5, 0.25, 0.1, 0.05]
+DEPTHS = [100, 250]
+
+
+def run_cell(vaf: float, depth: int, seeds: int, start_seed: int):
+    step = READ_LEN / depth
+    stats = defaultdict(lambda: {"n": 0, "ok": 0})
+    fails: list[str] = []
+    for i in range(seeds):
+        seed = start_seed + i
+        work = Path(tempfile.mkdtemp(prefix=f"vaf{depth}_{seed}_"))
+        try:
+            cfg_kwargs, checks = build_scenario(
+                seed, work, n_genes=4, read_step=step, vaf=vaf,
+            )
+            runner = Runner(Config(**cfg_kwargs))
+            runner.setup()
+            events = runner.run()
+            for gene, (kind, check) in checks.items():
+                evs = [e for e in events if e.genes.split(",")[0] == gene]
+                f = check(evs)
+                stats[kind]["n"] += 1
+                if f:
+                    fails.extend(f"seed {seed} {gene}: {x}" for x in f)
+                else:
+                    stats[kind]["ok"] += 1
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    per_kind = {
+        k: {"n": v["n"], "ok": v["ok"],
+            "recall": round(v["ok"] / v["n"], 4)}
+        for k, v in sorted(stats.items())
+    }
+    tot_n = sum(v["n"] for v in stats.values())
+    tot_ok = sum(v["ok"] for v in stats.values())
+    return {
+        "vaf": vaf,
+        "depth": depth,
+        "alt_reads_at_junction": round(depth * vaf, 1),
+        "recall": round(tot_ok / tot_n, 4) if tot_n else None,
+        "per_kind": per_kind,
+        "failures_sample": fails[:6],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=12)
+    ap.add_argument("--start-seed", type=int, default=0)
+    ap.add_argument("--out", default=str(REPO / "ENVELOPE_VAF_r04.json"))
+    args = ap.parse_args()
+    t0 = time.time()
+    cells = []
+    for depth in DEPTHS:
+        for vaf in VAFS:
+            cell = run_cell(vaf, depth, args.seeds, args.start_seed)
+            cell["wall_s"] = round(time.time() - t0, 1)
+            cells.append(cell)
+            print(json.dumps({k: cell[k] for k in
+                              ("vaf", "depth", "recall")}), flush=True)
+    # minimum VAF with recall >= 0.9 per kind per depth
+    min_vaf = {}
+    for depth in DEPTHS:
+        by_kind = defaultdict(dict)
+        for c in cells:
+            if c["depth"] != depth:
+                continue
+            for k, v in c["per_kind"].items():
+                by_kind[k][c["vaf"]] = v["recall"]
+        min_vaf[f"{depth}x"] = {
+            k: min((vaf for vaf, r in vr.items() if r >= 0.9),
+                   default=None)
+            for k, vr in sorted(by_kind.items())
+        }
+    out = {
+        "artifact": "VAF titration envelope (total junction depth fixed; "
+                    "alt fraction diluted by reference-haplotype reads)",
+        "seeds_per_cell": args.seeds,
+        "grid": {"vaf": VAFS, "depth": DEPTHS},
+        "cells": cells,
+        "min_detectable_vaf_recall90": min_vaf,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps({"min_detectable_vaf_recall90": min_vaf}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
