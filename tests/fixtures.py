@@ -452,30 +452,34 @@ class Haplotype:
 def sam_record_for_read(
     hap: Haplotype, s: int, length: int, name: str
 ) -> Tuple[str, int, int, str, str]:
-    """(rname, flag, pos0, cigar, seq) — how a simple aligner would place
-    a read starting at sample coordinate ``s``: anchor on the first
-    reference block it touches, soft-clip everything outside that block."""
+    """(rname, flag, pos0, cigar, seq) — how a real aligner would place
+    a read starting at sample coordinate ``s``: anchor on the forward
+    reference block with the LONGEST overlap (BWA-MEM picks the
+    highest-scoring = longest contiguous match as primary, NOT the
+    leftmost-in-read — r4: first-block anchoring put every
+    chr2-leading reciprocal-trl junction read on the off-target
+    chromosome, which a real panel run would not do), soft-clipping
+    everything outside that block."""
     seq = hap.seq[s : s + length]
-    block, in_block, remaining = hap.map_prefix(s)
-    if block is None or block.strand == "-":
-        # starts in a novel/inverted block: try anchoring on the NEXT
-        # forward reference block (left soft clip)
-        pos = s
-        while pos < s + length:
-            b2, ib2, rem2 = hap.map_prefix(pos)
-            if b2 is not None and b2.strand == "+":
-                clip = pos - s
-                matched = min(length - clip, rem2)
-                tail = length - clip - matched
-                cigar = (f"{clip}S" if clip else "") + f"{matched}M" + (
-                    f"{tail}S" if tail else ""
-                )
-                return b2.chrom, 0, b2.start + ib2, cigar, seq
-            pos += rem2 if rem2 else 1
-        return "*", 4, -1, "*", seq  # unmapped (fully novel)
-    matched = min(length, remaining)
-    tail = length - matched
-    cigar = f"{matched}M" + (f"{tail}S" if tail else "")
+    best = None  # (matched, read_offset, block, in_block)
+    pos = s
+    while pos < s + length:
+        b2, ib2, rem2 = hap.map_prefix(pos)
+        if rem2 == 0:
+            break
+        matched = min(s + length - pos, rem2)
+        if b2 is not None and b2.strand == "+":
+            # strictly-greater keeps the old first-block choice on ties
+            if best is None or matched > best[0]:
+                best = (matched, pos - s, b2, ib2)
+        pos += rem2
+    if best is None:
+        return "*", 4, -1, "*", seq  # unmapped (fully novel/inverted)
+    matched, clip, block, in_block = best
+    tail = length - clip - matched
+    cigar = (f"{clip}S" if clip else "") + f"{matched}M" + (
+        f"{tail}S" if tail else ""
+    )
     return block.chrom, 0, block.start + in_block, cigar, seq
 
 

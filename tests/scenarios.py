@@ -345,6 +345,275 @@ def plant_multi_sv(
     return "multi", check
 
 
+# SV size extremes + reciprocal translocation (VERDICT r3 missing #4)
+EXTREME_KINDS = [
+    "ins_boundary",   # exactly indel_size=15 called; 14 NOT called
+    "del_boundary",   # exactly 15 called; 14 NOT called
+    "del_large",      # 500 bp - 5 kb deletion
+    "dup_large",      # 1-3 kb tandem duplication
+    "dup_cn3",        # copy-number-3 tandem dup (one junction, reused)
+    "trl_recip",      # reciprocal trl: BOTH derivative junctions + VCF
+]
+
+
+def plant_extreme(
+    rng: np.random.Generator,
+    genome: Dict[str, str],
+    sam: SamBuilder,
+    gene: str,
+    start: int,
+    end: int,
+    kind: str,
+) -> Tuple[str, Checker]:
+    """Plant one extreme-case SV (EXTREME_KINDS) in a WIDE region
+    (build_extremes_scenario uses 12 kb spans so multi-kb events fit).
+    Boundary planters pair a must-call event at exactly ``indel_size``
+    (15) with a must-NOT-call event at 14 in the same region, pinning the
+    >= indel_size reporting rule from both sides (call/events.py:90)."""
+    g = genome["chr1"]
+    span = end - start
+
+    if kind in ("ins_boundary", "del_boundary"):
+        m1 = start + int(rng.integers(300, span // 2 - 200))
+        m2 = start + int(rng.integers(span // 2 + 300, span - 300))
+        if kind == "ins_boundary":
+            ins15 = "".join(rng.choice(list(BASES), 15))
+            ins14 = "".join(rng.choice(list(BASES), 14))
+            hap1 = Haplotype(genome, [
+                RefBlock("chr1", start, m1), NovelBlock(ins15),
+                RefBlock("chr1", m1, end)])
+            hap2 = Haplotype(genome, [
+                RefBlock("chr1", start, m2), NovelBlock(ins14),
+                RefBlock("chr1", m2, end)])
+            h = _homology(g[:m1], ins15) + _homology(
+                ins15, g[m1:m1 + 40][::-1])
+            want_sub, m1_norm = "I", m1
+        else:
+            hap1 = Haplotype(genome, [
+                RefBlock("chr1", start, m1), RefBlock("chr1", m1 + 15, end)])
+            hap2 = Haplotype(genome, [
+                RefBlock("chr1", start, m2), RefBlock("chr1", m2 + 14, end)])
+            m1_norm = m1
+            while m1_norm > 0 and g[m1_norm - 1] == g[m1_norm + 15 - 1]:
+                m1_norm -= 1
+            h, want_sub = 2, "D"
+        sam.add_haplotype_reads(hap1, m1 - start - 160, m1 - start + 140,
+                                step=4, prefix=f"{gene}a")
+        sam.add_haplotype_reads(hap2, m2 - start - 160, m2 - start + 140,
+                                step=4, prefix=f"{gene}b")
+        tol = 4 + h
+
+        def check(evs):
+            fails = []
+            hit15 = [e for e in evs if e.sv_subtype == want_sub
+                     and e.size == 15
+                     and abs(e.breakpoints[0][1] - m1_norm) <= tol]
+            if not hit15:
+                fails.append(
+                    f"{kind}: size-15 @{m1} not called: {_fmt(evs)}")
+            # the 14 bp twin must stay below the reporting threshold
+            leak = [e for e in evs
+                    if abs(e.breakpoints[0][1] - m2) <= 25 and e.size >= 15]
+            if leak:
+                fails.append(
+                    f"{kind}: sub-threshold 14 bp @{m2} leaked a >=15 "
+                    f"call: {_fmt(leak)}")
+            return fails
+
+        check.junctions = [("chr1", m1), ("chr1", m2)]
+        return kind, check
+
+    if kind == "del_large":
+        size = int(rng.integers(500, 5001))
+        size = min(size, span - 1200)
+        mid = start + int(rng.integers(300, span - size - 300))
+        hap = Haplotype(genome, [
+            RefBlock("chr1", start, mid), RefBlock("chr1", mid + size, end)])
+        sam.add_haplotype_reads(hap, mid - start - 160, mid - start + 140,
+                                step=4, prefix=f"{gene}r")
+        mid_norm = mid
+        while mid_norm > 0 and g[mid_norm - 1] == g[mid_norm + size - 1]:
+            mid_norm -= 1
+
+        def check(evs):
+            hits = [e for e in evs if e.sv_subtype in ("D", "del")
+                    and abs(e.size - size) <= 4
+                    and abs(e.breakpoints[0][1] - mid_norm) <= 4]
+            if not hits:
+                return [f"del_large@{mid}+{size} not called: {_fmt(evs)}"]
+            return []
+
+        check.junctions = [("chr1", mid), ("chr1", mid + size)]
+        return kind, check
+
+    if kind in ("dup_large", "dup_cn3"):
+        if kind == "dup_large":
+            size = int(rng.integers(1000, 3001))
+            size = min(size, span - 1400)
+            extra = []
+        else:
+            size = int(rng.integers(150, 400))
+            extra = None  # marker: three copies
+        mid = start + size + int(rng.integers(300, span - size - 600))
+        if kind == "dup_cn3":
+            blocks = [RefBlock("chr1", start, mid),
+                      RefBlock("chr1", mid - size, mid),
+                      RefBlock("chr1", mid - size, end)]
+        else:
+            blocks = [RefBlock("chr1", start, mid),
+                      RefBlock("chr1", mid - size, end)]
+        hap = Haplotype(genome, blocks)
+        # tile across the whole duplicated span so both junction copies
+        # (cn3) are covered
+        w_end = (mid - start + size + 140 if kind == "dup_cn3"
+                 else mid - start + 140)
+        sam.add_haplotype_reads(hap, mid - start - 160, w_end,
+                                step=4, prefix=f"{gene}r")
+        h = _homology(g[:mid], g[:mid - size]) + _homology(
+            g[mid - size:mid][::-1], g[mid:mid + 40][::-1])
+        tol = 4 + h
+
+        def check(evs):
+            # cn3 produces the SAME junction sequence as cn2 (unit end ->
+            # unit start): a junction caller reports one tandem_dup of
+            # the unit size; copy count is a depth question it does not
+            # answer (reference parity [recon: SURVEY §2 #13])
+            hits = [e for e in evs if e.sv_subtype == "tandem_dup"
+                    and abs(e.size - size) <= 5]
+            if not hits:
+                return [f"{kind}@{mid}-{size} not called: {_fmt(evs)}"]
+            good = [e for e in hits
+                    if abs(e.breakpoints[0][1] - (mid - size)) <= tol
+                    and abs(e.breakpoints[0][2] - mid) <= tol]
+            if not good:
+                return [f"{kind}@{mid}-{size} bp off (tol {tol}): "
+                        f"{_fmt(hits)}"]
+            return []
+
+        check.junctions = [("chr1", mid - size), ("chr1", mid)]
+        return kind, check
+
+    if kind == "trl_recip":
+        g2 = genome["chr2"]
+        m1 = start + int(rng.integers(500, span - 900))
+        p2 = int(rng.integers(900, len(g2) - 1500))
+        # derivative A: chr1 5' side joined to chr2 3' side
+        hapA = Haplotype(genome, [
+            RefBlock("chr1", start, m1), RefBlock("chr2", p2, p2 + 500)])
+        # derivative B: chr2 5' side joined to chr1 3' side (reciprocal)
+        hapB = Haplotype(genome, [
+            RefBlock("chr2", p2 - 500, p2), RefBlock("chr1", m1, m1 + 500)])
+        sam.add_haplotype_reads(hapA, m1 - start - 160, m1 - start + 140,
+                                step=4, prefix=f"{gene}a")
+        sam.add_haplotype_reads(hapB, 500 - 160, 500 + 140,
+                                step=4, prefix=f"{gene}b")
+        sam.add_discordant_pairs("chr1", m1, "chr2", p2, n=5,
+                                 prefix=f"{gene}d")
+        hA = _homology(g[:m1], g2[:p2]) + _homology(
+            g[m1:m1 + 40][::-1], g2[p2:p2 + 40][::-1])
+        tol = 3 + hA
+
+        def check(evs):
+            from breakmer_tpu.vcf import event_vcf_records
+
+            trls = [e for e in evs if e.sv_type == "trl"]
+            fails = []
+            # classify each trl by which chromosome its contig LEADS with
+            derA = [e for e in trls if e.segments
+                    and e.segments[0].chrom == "chr1"]
+            derB = [e for e in trls if e.segments
+                    and e.segments[0].chrom == "chr2"]
+            for name, der in (("derA(chr1->chr2)", derA),
+                              ("derB(chr2->chr1)", derB)):
+                hit = False
+                for e in der:
+                    bps = {bp[0]: bp[1] for bp in e.breakpoints}
+                    if ("chr1" in bps and "chr2" in bps
+                            and abs(bps["chr1"] - m1) <= tol
+                            and abs(bps["chr2"] - p2) <= tol):
+                        hit = True
+                if not hit:
+                    fails.append(
+                        f"trl_recip: {name} junction chr1:{m1}/chr2:{p2} "
+                        f"not called: {_fmt(trls)}")
+            # VCF: every trl emits a MATEID-linked BND pair whose ids and
+            # mates are mutually consistent
+            for i, e in enumerate(trls):
+                recs = event_vcf_records(e, f"chk{i}")
+                if len(recs) != 2:
+                    fails.append(f"trl_recip: BND pair expected, got "
+                                 f"{len(recs)} records")
+                    continue
+                a, b = recs
+                if (a["info"].get("MATEID") != b["id"]
+                        or b["info"].get("MATEID") != a["id"]):
+                    fails.append(
+                        f"trl_recip: MATEID pair inconsistent: "
+                        f"{a['id']}<->{a['info'].get('MATEID')}, "
+                        f"{b['id']}<->{b['info'].get('MATEID')}")
+                # each ALT must name its mate's locus
+                for rec, mate in ((a, b), (b, a)):
+                    want = f"{mate['chrom']}:{mate['pos']}"
+                    if want not in rec["alt"]:
+                        fails.append(
+                            f"trl_recip: BND ALT {rec['alt']} does not "
+                            f"reference mate locus {want}")
+            return fails
+
+        check.junctions = [("chr1", m1), ("chr2", p2)]
+        return kind, check
+
+    raise ValueError(kind)
+
+
+def build_extremes_scenario(
+    seed: int,
+    work,
+    kinds: Optional[List[str]] = None,
+    error_model: Optional[ErrorModel] = ErrorModel(),
+):
+    """One wide (12 kb) region per EXTREME_KINDS entry: indel_size
+    boundary pinning, 500 bp-5 kb deletions, multi-kb and copy-number-3
+    tandem dups, and a reciprocal translocation with both derivative
+    junctions + BND MATEID consistency (VERDICT r3 missing #4)."""
+    from breakmer_tpu.io.fasta import write_fasta
+
+    kinds = list(kinds or EXTREME_KINDS)
+    rng = np.random.default_rng(seed)
+    span, gap = 12000, 1500
+    genome = {
+        "chr1": rand_seq(9000 + seed, len(kinds) * (span + gap) + 4000),
+        "chr2": rand_seq(11000 + seed, 8000),
+    }
+    write_fasta(work / "genome.fa", genome)
+    sam = SamBuilder(genome, error_model=error_model, error_seed=seed)
+    checks: Dict[str, Tuple[str, Checker]] = {}
+    lines = []
+    for gidx, kind in enumerate(kinds):
+        start = 2000 + gidx * (span + gap)
+        end = start + span
+        gene = f"X{gidx}"
+        lines.append(f"chr1\t{start}\t{end}\t{gene}\n")
+        checks[gene] = plant_extreme(rng, genome, sam, gene, start, end,
+                                     kind)
+        sam.add_background_pairs("chr1", start - 300, end + 300,
+                                 step=30, prefix=f"bg{gidx}")
+    (work / "targets.bed").write_text("".join(lines))
+    sam.write(work / "sample.sam")
+    return dict(
+        analysis_name="ext",
+        analysis_dir=str(work / "analysis"),
+        targets_bed_file=str(work / "targets.bed"),
+        reference_fasta=str(work / "genome.fa"),
+        reference_data_dir=str(work / "refdata"),
+        sample_bam_file=str(work / "sample.sam"),
+        indel_sr_thresh=2,
+        trl_sr_thresh=2,
+        rearr_sr_thresh=2,
+        batch_regions=True,
+    ), checks
+
+
 def build_scenario(
     seed: int,
     work,

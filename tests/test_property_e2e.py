@@ -106,6 +106,21 @@ def test_polymorphic_sample_no_fp_and_svs_recovered(tmp_path):
     ]
 
 
+def test_extreme_svs_recovered(tmp_path):
+    """Size extremes + reciprocal translocation (r4; deep sweep:
+    ACCURACY_EXTREMES_r04.json): indel_size boundary pinned from both
+    sides (15 called, 14 not), 500bp-5kb deletion, multi-kb tandem dup,
+    copy-number-3 dup (one junction reported), and a reciprocal trl with
+    BOTH derivative junctions called and BND MATEID pairs consistent."""
+    from tests.scenarios import build_extremes_scenario
+
+    cfg_kwargs, checks = build_extremes_scenario(1, tmp_path)
+    runner = Runner(Config(**cfg_kwargs))
+    runner.setup()
+    failures = _run_checks(cfg_kwargs, checks, runner.run())
+    assert not failures, "\n".join(failures)
+
+
 def test_low_vaf_svs_recovered(tmp_path):
     """VAF 0.25 at ~33x total junction depth: alt-haplotype reads diluted
     3:1 by reference reads over the same window; all four planted SVs
