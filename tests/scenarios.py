@@ -132,19 +132,41 @@ def plant_sv(
                     continue
                 recs = event_vcf_records(e, "chk")
                 s = recs[0]["info"].get("INSSEQ") if recs else None
+                p = e.breakpoints[0][1]
                 if s is None:
                     # only a genuinely mixed-strand junction leaves the
                     # insert orientation ambiguous; a same-strand call
                     # with no INSSEQ means junction_q regressed
                     # (ADVICE r3 #1: do not silently skip that case)
-                    if len(set(e.strands.split("/"))) != 1:
-                        continue
-                    return [
-                        f"ins@{mid}: exact-size same-strand call emitted "
-                        f"no INSSEQ (strands {e.strands}, "
-                        f"junction_q {e.junction_q})"
-                    ]
-                p = e.breakpoints[0][1]
+                    if len(set(e.strands.split("/"))) == 1:
+                        return [
+                            f"ins@{mid}: exact-size same-strand call "
+                            f"emitted no INSSEQ (strands {e.strands}, "
+                            f"junction_q {e.junction_q})"
+                        ]
+                    # mixed-strand: content-check up to reverse-
+                    # complement (VERDICT r3 weak #3) when junction_q is
+                    # usable; a junction_q regression still fails here
+                    if (len(e.junction_q) != 2 or not e.contig_seq
+                            or e.junction_q[1] - e.junction_q[0] != e.size):
+                        return [
+                            f"ins@{mid}: mixed-strand call with unusable "
+                            f"junction_q {e.junction_q}"
+                        ]
+                    lo, hi = e.junction_q
+                    raw = e.contig_seq[lo:hi]
+                    rc = raw.translate(
+                        str.maketrans("ACGT", "TGCA"))[::-1]
+                    if not any(
+                        g[max(0, p - 30):p] + cand + g[p:p + 30] in alt_true
+                        for cand in (raw, rc)
+                    ):
+                        return [
+                            f"ins@{mid} mixed-strand content mismatch "
+                            f"(neither orientation): {raw} vs planted "
+                            f"{ins}"
+                        ]
+                    continue
                 w = g[max(0, p - 30):p] + s + g[p:p + 30]
                 if w not in alt_true:
                     return [

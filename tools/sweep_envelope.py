@@ -46,8 +46,23 @@ READ_LEN = 100  # tests/fixtures.SamBuilder default
 STEPS = [4, 8, 12, 16, 20, 25, 33]
 SUB_RATES = [0.008, 0.02, 0.04]
 
+# --profile tuned: the knobs the reference ships for marginal samples
+# (SURVEY §2 #2 [recon]). r4 knob study at the 4% x 3x cliff cell:
+# support/identity relaxation recovers ~10% absolute recall
+# (10/32 -> 13/32); min_kmer_count=1 and trim_qual=20 alone recover
+# NOTHING — at ~7 junction reads with 4% errors the assembly k-mer
+# overlap, not the thresholds, is the binding constraint. The cliff is
+# near the information floor, and the tuned row documents exactly how
+# far knobs move it.
+PROFILES = {
+    "default": {},
+    "tuned": dict(min_kmer_count=1, trim_qual=20, indel_sr_thresh=1,
+                  rearr_sr_thresh=1, trl_sr_thresh=1, min_identity=0.85),
+}
 
-def run_cell(step: int, sub_rate: float, seeds: int, start_seed: int):
+
+def run_cell(step: int, sub_rate: float, seeds: int, start_seed: int,
+             profile: str = "default"):
     em = ErrorModel(sub_rate=sub_rate)
     stats = defaultdict(lambda: {"n": 0, "ok": 0})
     fails: list[str] = []
@@ -58,6 +73,7 @@ def run_cell(step: int, sub_rate: float, seeds: int, start_seed: int):
             cfg_kwargs, checks = build_scenario(
                 seed, work, n_genes=4, error_model=em, read_step=step,
             )
+            cfg_kwargs.update(PROFILES[profile])
             runner = Runner(Config(**cfg_kwargs))
             runner.setup()
             events = runner.run()
@@ -93,13 +109,21 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=16)
     ap.add_argument("--start-seed", type=int, default=0)
     ap.add_argument("--out", default=str(REPO / "ENVELOPE_r03.json"))
+    ap.add_argument("--profile", choices=sorted(PROFILES),
+                    default="default")
+    ap.add_argument("--sub-rates", default=None,
+                    help="comma list overriding the error-rate axis "
+                         "(tuned runs usually sweep only the cliff row)")
     args = ap.parse_args()
+    sub_rates = ([float(x) for x in args.sub_rates.split(",")]
+                 if args.sub_rates else SUB_RATES)
 
     t0 = time.time()
     cells = []
-    for sub in SUB_RATES:
+    for sub in sub_rates:
         for step in STEPS:
-            cell = run_cell(step, sub, args.seeds, args.start_seed)
+            cell = run_cell(step, sub, args.seeds, args.start_seed,
+                            args.profile)
             cells.append(cell)
             print(
                 f"step={step} (~{cell['junction_depth_x']}x) sub={sub}: "
@@ -112,7 +136,9 @@ def main() -> int:
         "artifact": "operating envelope: recall vs junction depth x error rate",
         "seeds_per_cell": args.seeds,
         "read_len": READ_LEN,
-        "grid": {"read_step": STEPS, "sub_rate": SUB_RATES},
+        "profile": args.profile,
+        "profile_overrides": PROFILES[args.profile],
+        "grid": {"read_step": STEPS, "sub_rate": sub_rates},
         "cells": cells,
         "wall_s": round(time.time() - t0, 1),
     }
