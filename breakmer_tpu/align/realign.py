@@ -24,7 +24,12 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from breakmer_tpu.align.index import GenomeIndex, SeedIndex, Window
-from breakmer_tpu.align.traceback import Alignment, split_alignment, traceback_align
+from breakmer_tpu.align.traceback import (
+    Alignment,
+    split_alignment,
+    split_target_gap_junk,
+    traceback_align,
+)
 from breakmer_tpu.encode import pad_tier, revcomp_codes
 from breakmer_tpu.ops.sw import SWParams, sw_score_batch
 
@@ -163,6 +168,15 @@ def _process_winner(
         return
     # blat-parity: no giant query gaps inside one segment — split them
     pieces = split_alignment(aln_whole, q_or, codes, params, max_q_gap=max_q_gap)
+    # cut deletion-sized TARGET gaps whose flank is paralog junk (below
+    # min_identity): the junk side dies in the identity filter below and
+    # masked requery places it at its true locus (r4 dup-as-del fix;
+    # clean-flanked deletions are never split)
+    pieces = [
+        p2 for p in pieces
+        for p2 in split_target_gap_junk(p, q_or, codes, params,
+                                        min_identity=min_identity)
+    ]
     made_progress = False
     for aln in pieces:
         if w.strand == "+":

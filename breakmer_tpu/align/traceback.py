@@ -327,6 +327,64 @@ def split_alignment(
     return out if out else [aln]
 
 
+def split_target_gap_junk(
+    aln: Alignment,
+    q: np.ndarray,
+    t: np.ndarray,
+    params: SWParams,
+    min_t_gap: int = 15,
+    min_identity: float = 0.90,
+) -> List[Alignment]:
+    """Split at deletion-sized TARGET gaps whose flank is junk.
+
+    split_alignment never cuts at target gaps — a large target gap IS
+    the deletion signal. But the affine DP will also bridge a
+    deletion-sized gap into a PARALOGOUS flank when that outscores
+    stopping: a tandem-dup junction inside a dispersed repeat family
+    comes back as one segment 96M36D94M whose post-gap side matches the
+    ADJACENT family copy at ~84% identity (r4 repeat-genome sweeps,
+    dup-called-as-del failures). A real deletion has clean flanks on
+    both sides, so the discriminator is per-side identity, not gap
+    size: if every gap-delimited side clears ``min_identity`` the
+    alignment is kept whole; otherwise it is cut at every gap >=
+    ``min_t_gap`` and the junk sides die in the caller's per-piece
+    identity filter, leaving the masked requery to place those query
+    bases at their true locus."""
+    cuts: List[int] = []
+    qpos = aln.q_start
+    for op, ln in aln.ops:
+        if op in "MI":  # both consume query
+            qpos += ln
+        elif ln >= min_t_gap:
+            cuts.append(qpos)
+    if not cuts:
+        return [aln]
+    bounds = [aln.q_start] + cuts + [aln.q_end]
+
+    def side_identity(lo: int, hi: int) -> float:
+        m = mm = 0
+        for bq, bt, ln in aln.blocks:
+            s, e = max(bq, lo), min(bq + ln, hi)
+            if e > s:
+                off = s - bq
+                eq = int(np.sum(q[s:e] == t[bt + off:bt + off + (e - s)]))
+                m += eq
+                mm += (e - s) - eq
+        return m / (m + mm) if (m + mm) else 0.0
+
+    if all(side_identity(bounds[i], bounds[i + 1]) >= min_identity
+           for i in range(len(bounds) - 1)):
+        return [aln]
+    out: List[Alignment] = []
+    for i in range(len(bounds) - 1):
+        piece = _piece_between(aln, q, t, params, bounds[i], bounds[i + 1])
+        if piece is not None:
+            piece = _max_score_trim(piece, q, t, params)
+        if piece is not None:
+            out.append(piece)
+    return out if out else [aln]
+
+
 def _fill(q: np.ndarray, t: np.ndarray, p: SWParams):
     """Row-vectorized fill of full H/E/F matrices (1-based).
 

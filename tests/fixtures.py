@@ -530,7 +530,9 @@ class SamBuilder:
         positions — PCR-duplicate-like, used by the VAF/depth sweeps)."""
         pos_f, lim = float(start), min(end, len(hap.seq)) - read_len + 1
         while pos_f < lim:
-            s = int(round(pos_f))
+            # round() can land on the exclusive limit (reads must satisfy
+            # s + read_len <= len(hap.seq), like the old range() did)
+            s = min(int(round(pos_f)), lim - 1)
             pos_f += step
             self._n += 1
             rname, flag, pos, cigar, seq = sam_record_for_read(

@@ -63,6 +63,46 @@ def test_traceback_deletion():
     assert aln.q_gaps == []
 
 
+def test_split_target_gap_junk():
+    """Clean-flanked deletions stay whole; a deletion-sized target gap
+    bridging into a junk (<min_identity) flank is cut so the junk side
+    can be rejected and re-placed by masked requery (r4: a tandem-dup
+    junction inside a repeat family read as deletion-into-the-adjacent-
+    copy, ACCURACY_REPEATS dup-as-del failures)."""
+    from breakmer_tpu.align.traceback import split_target_gap_junk
+
+    rng = random.Random(7)
+    params = SWParams()
+    flank1 = rand_seq(70, 60)
+    flank2 = rand_seq(71, 60)
+    dele = rand_seq(72, 30)
+    # legit deletion: both flanks exact -> never split
+    q = encode_seq(flank1 + flank2)
+    t = encode_seq(flank1 + dele + flank2)
+    aln = traceback_align(q, t, params)
+    assert ("D", 30) in aln.ops
+    assert split_target_gap_junk(aln, q, t, params) == [aln]
+    # junk flank: mutate flank2 in the TARGET to ~75% identity -> the DP
+    # still bridges (flanks pay for it) but the side must be cut off
+    bad = list(flank2)
+    for i in range(0, len(bad), 4):
+        bad[i] = {"A": "C", "C": "G", "G": "T", "T": "A"}[bad[i]]
+    q2 = encode_seq(flank1 + flank2)
+    t2 = encode_seq(flank1 + dele + "".join(bad))
+    aln2 = traceback_align(q2, t2, params)
+    if any(op == "D" and ln >= 15 for op, ln in aln2.ops):
+        pieces = split_target_gap_junk(aln2, q2, t2, params)
+        assert len(pieces) >= 2, aln2.ops
+        # the clean side survives with high identity
+        best = max(pieces, key=lambda p: p.matches)
+        assert best.matches >= 55
+        ident = [p.matches / max(p.matches + p.mismatches, 1)
+                 for p in pieces]
+        assert max(ident) > 0.95 and min(ident) < 0.90
+    else:  # local alignment stopped at the clean flank: equally fine
+        assert aln2.q_end <= len(flank1) + 2
+
+
 def test_traceback_mismatch_counting():
     q = "ACGTACGTACGT"
     t = "ACGTACCTACGT"  # one mismatch in the middle
