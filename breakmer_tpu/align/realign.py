@@ -26,6 +26,7 @@ import numpy as np
 from breakmer_tpu.align.index import GenomeIndex, SeedIndex, Window
 from breakmer_tpu.align.traceback import (
     Alignment,
+    rederive_fragmented_gaps,
     split_alignment,
     split_target_gap_junk,
     traceback_align,
@@ -166,6 +167,10 @@ def _process_winner(
     if aln_whole.score <= 0:
         work.done = True
         return
+    # blat-parity gap normalization: a fragmented multi-gap representation
+    # (short unit-matched islands inside tandem arrays) re-derives to the
+    # fewest-gaps form that explains >= the same matches (r4)
+    aln_whole = rederive_fragmented_gaps(aln_whole, q_or, codes, params)
     # blat-parity: no giant query gaps inside one segment — split them
     pieces = split_alignment(aln_whole, q_or, codes, params, max_q_gap=max_q_gap)
     # cut deletion-sized TARGET gaps whose flank is paralog junk (below

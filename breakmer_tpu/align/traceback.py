@@ -327,6 +327,69 @@ def split_alignment(
     return out if out else [aln]
 
 
+def _score_ops(aln: Alignment, params: SWParams) -> int:
+    """Score of an alignment's op sequence under ``params`` (affine)."""
+    s = aln.matches * params.match - aln.mismatches * params.mismatch
+    for op, ln in aln.ops:
+        if op in "ID":
+            s -= params.gap_open + params.gap_extend * ln
+    return s
+
+
+def rederive_fragmented_gaps(
+    aln: Alignment,
+    q: np.ndarray,
+    t: np.ndarray,
+    params: SWParams,
+    anchor_len: int = 8,
+    min_gap: int = 3,
+) -> Alignment:
+    """BLAT-parity gap normalization (r4).
+
+    Inside a tandem repeat array the affine DP prefers splitting one
+    long deletion into several short unit-matched gaps: the true 89 bp
+    deletion (one gap, 0 mismatches) costs 94 while 7D+32D+8D bridged
+    by 5M/3M chance unit matches plus 2 impurity mismatches costs less
+    under 2/3/5/1 — a fragmented representation whose inter-gap M runs
+    are below BLAT's tile anchor and would never appear in a PSL row.
+    When an alignment carries >= 2 gaps (len >= ``min_gap``) with any
+    inter-gap M run < ``anchor_len``, re-run the host traceback over
+    the SAME q/t span with a long-gap-friendly scale (ratios x4,
+    gap_extend kept at 1) and adopt the result iff it covers the same
+    query span with at least as many matched bases (its score is then
+    re-expressed under the caller's params). Winner SELECTION never
+    uses the friendly scale — as a default it profitably hops past
+    trl junctions via chance anchors (measured r4 regression)."""
+    gap_idx = [i for i, (op, ln) in enumerate(aln.ops)
+               if op in "ID" and ln >= min_gap]
+    if len(gap_idx) < 2:
+        return aln
+    fragmented = False
+    for a, b in zip(gap_idx, gap_idx[1:]):
+        between = sum(ln for op, ln in aln.ops[a + 1:b] if op == "M")
+        if between < anchor_len:
+            fragmented = True
+            break
+    if not fragmented:
+        return aln
+    p2 = SWParams(params.match * 4, params.mismatch * 4,
+                  params.gap_open * 4, params.gap_extend)
+    # the true (unabsorbed) representation spans MORE target than the
+    # fragmented one, so re-derive against the whole candidate window —
+    # the same-query-span + matches guard below stops any wandering
+    sub_q = q[aln.q_start:aln.q_end]
+    aln2 = traceback_align(sub_q, t, p2)
+    if (aln2.q_start != 0 or aln2.q_end != len(sub_q)
+            or aln2.matches < aln.matches):
+        return aln
+    return Alignment(
+        _score_ops(aln2, params),
+        aln.q_start + aln2.q_start, aln.q_start + aln2.q_end,
+        aln2.t_start, aln2.t_end,
+        aln2.ops, aln2.matches, aln2.mismatches,
+    )
+
+
 def split_target_gap_junk(
     aln: Alignment,
     q: np.ndarray,

@@ -25,16 +25,25 @@ def oracle_kmer_counts(seqs: List[str], k: int) -> Dict[str, int]:
 def oracle_sw(
     q: str,
     t: str,
-    match: int = 2,
-    mismatch: int = 3,
-    gap_open: int = 5,
-    gap_extend: int = 1,
+    match: int = None,
+    mismatch: int = None,
+    gap_open: int = None,
+    gap_extend: int = None,
 ) -> Tuple[int, int, int]:
     """Triple-loop affine local alignment. Gap of length g costs
     gap_open + gap_extend*g. Returns (best score, q_end, t_end) with
     inclusive 0-based end coordinates (ties: first in (d, i) wavefront
     order, matching ops.sw tie-breaking: earlier diagonal first, then
-    smaller i within a diagonal — jnp.argmax picks the first maximum)."""
+    smaller i within a diagonal — jnp.argmax picks the first maximum).
+    Unspecified params default to the live SWParams() defaults so the
+    oracle always tracks the production scoring scale."""
+    from breakmer_tpu.ops.sw import SWParams
+
+    _d = SWParams()
+    match = _d.match if match is None else match
+    mismatch = _d.mismatch if mismatch is None else mismatch
+    gap_open = _d.gap_open if gap_open is None else gap_open
+    gap_extend = _d.gap_extend if gap_extend is None else gap_extend
     n, m = len(q), len(t)
     NEG = -(10**9)
     H = [[0] * (m + 1) for _ in range(n + 1)]

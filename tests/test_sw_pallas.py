@@ -283,5 +283,6 @@ def test_auto_dispatch_runs_beyond_tier_shape():
     q = ReadBatch.from_seqs([qs], pad_to=4096).codes
     t = ReadBatch.from_seqs([qs[500:2500]], pad_to=4096).codes
     s, qe, te = (np.asarray(x) for x in sw_score_auto(q, t))
-    assert int(s[0]) == 2 * 2000  # exact 2000-bp match, match score 2
+    from breakmer_tpu.ops.sw import SWParams
+    assert int(s[0]) == SWParams().match * 2000  # exact 2000-bp match
     assert int(qe[0]) == 2499 and int(te[0]) == 1999
