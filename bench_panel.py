@@ -82,9 +82,68 @@ def run_once(cfg) -> dict:
 
 
 PANEL_BASELINE = Path(__file__).parent / "bench_panel_baseline.json"
+CPU_BASELINE = Path(__file__).parent / "bench_panel_cpu_baseline.json"
+
+
+def cpu_check(update: bool = False) -> int:
+    """--cpu-check: warm CPU panel throughput at 20/100 genes vs the
+    committed self-baseline (bench_panel_cpu_baseline.json). The TPU
+    relay drifts +-30% day to day (CLAUDE.md trap #7), so host-path
+    regressions hide under it; CPU warm numbers on an otherwise idle
+    host are the stable comparator (VERDICT r3 weak #4). --cpu-update
+    rewrites the baseline. Exit 1 when any shape is >25% below
+    baseline. NEVER run while another bench/sweep is running — this
+    2-vCPU host cross-pollutes wall times 2x (CLAUDE.md trap #6)."""
+    from breakmer_tpu.device import configure
+
+    configure("cpu")
+    results = {}
+    for n_genes in (20, 100):
+        work = Path(tempfile.mkdtemp(prefix="breakmer_cpuchk_"))
+        try:
+            cfg = build_panel(work, n_genes, 6)
+            cold = run_once(cfg)
+            shutil.rmtree(cfg.analysis_dir, ignore_errors=True)
+            warm = run_once(cfg)
+            results[f"{n_genes}g"] = {
+                "regions_per_s": round(warm["targets"] / warm["elapsed_s"], 2),
+                "warm_s": round(warm["elapsed_s"], 3),
+                "cold_s": round(cold["elapsed_s"], 2),
+                "calls": warm["calls"],
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    if update:
+        CPU_BASELINE.write_text(json.dumps(results, indent=1) + "\n")
+        print(json.dumps({"cpu_check": results, "baseline": "written"}))
+        return 0
+    if not CPU_BASELINE.exists():
+        # a gate that silently self-baselines from possibly-regressed
+        # numbers is no gate: missing baseline is an explicit error
+        print(json.dumps({
+            "cpu_check": results, "ok": False,
+            "error": "bench_panel_cpu_baseline.json missing — run "
+                     "--cpu-update on a known-good idle host first",
+        }))
+        return 2
+    base = json.loads(CPU_BASELINE.read_text())
+    drift = {
+        k: round(results[k]["regions_per_s"]
+                 / base[k]["regions_per_s"], 3)
+        for k in results if k in base
+    }
+    # a key-mismatched baseline must not pass vacuously
+    ok = bool(drift) and set(results) <= set(base) and all(
+        d >= 0.75 for d in drift.values()
+    )
+    print(json.dumps({"cpu_check": results, "drift_vs_baseline": drift,
+                      "ok": ok}))
+    return 0 if ok else 1
 
 
 def main() -> None:
+    if "--cpu-check" in sys.argv or "--cpu-update" in sys.argv:
+        raise SystemExit(cpu_check(update="--cpu-update" in sys.argv))
     n_genes = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     read_step = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     nprocs = int(sys.argv[3]) if len(sys.argv) > 3 else 1

@@ -79,8 +79,11 @@ class AlignSegment:
     # -1 = unknown (not produced by realign_contigs). Placement-uniqueness
     # evidence for the repeat filter's rescue path (call/filters.py):
     # a low runner-up means no competing locus explains this segment.
-    # Round-1 margins see region-local candidates only (the reference's
-    # blat-vs-region first pass [recon]); genome windows join from pass 2.
+    # Margins are genome-aware in EVERY round (genome candidate windows
+    # are scored from round 1 even though pass-1 PLACEMENT stays
+    # region-only), and near-per-segment: each masked-requery round
+    # re-gathers candidates for the remaining query only, so a
+    # competitor recorded here competed for THIS segment's bases.
     second_score: int = -1
 
     @property
@@ -275,13 +278,21 @@ def _realign_contigs(
             and int(np.sum(wk.masked < 4)) >= min_seg_len
         ]
         for wk in active:
-            gathered = _gather(wk, genome if wk.use_genome else None)
-            if not gathered and not wk.use_genome and genome is not None:
-                # region pass empty -> go genome-wide right away
-                wk.use_genome = True
-                gathered = _gather(wk, genome)
+            # genome candidate windows are gathered EVERY round (not just
+            # pass >= 2): placement still follows the reference's two-pass
+            # structure (the winner is restricted to region windows in
+            # pass 1 below), but the uniqueness margin (second_score) must
+            # see genome-wide competitors — a region-only margin of 0
+            # conflates "no disjoint candidate consulted" with "no
+            # competitor exists" and let the repeat rescue fire on
+            # round-1 segments whose paralogs were never scored (r4
+            # review #1)
+            gathered = _gather(wk, genome)
             if not gathered:
                 wk.done = True
+            elif wk.n_region_windows == 0:
+                # region pass empty -> genome placement right away
+                wk.use_genome = True
         active = [wk for wk in active if not wk.done]
         if not active:
             break
@@ -314,8 +325,12 @@ def _realign_contigs(
         for wk, (start, count) in zip(active, spans):
             sl = slice(start, start + count)
             # first index of the max score — the same winner the stable
-            # argsort-descending picked (earliest-window tie-break)
-            best = int(np.argmax(scores[sl]))
+            # argsort-descending picked (earliest-window tie-break).
+            # Pass-1 placement considers REGION windows only (reference
+            # two-pass parity); the genome windows in this round's batch
+            # exist for the uniqueness margin below.
+            place_n = count if wk.use_genome else wk.n_region_windows
+            best = int(np.argmax(scores[sl][:place_n]))
             if int(scores[sl][best]) < min_seg_score:
                 if genome is not None and not wk.use_genome:
                     wk.use_genome = True  # retry genome-wide next round

@@ -379,11 +379,14 @@ def rederive_fragmented_gaps(
     # the same-query-span + matches guard below stops any wandering
     sub_q = q[aln.q_start:aln.q_end]
     aln2 = traceback_align(sub_q, t, p2)
+    new_score = _score_ops(aln2, params)
+    # the re-derivation skips the caller's positive-score guard (it runs
+    # after), so a non-positive re-expressed score must never be adopted
     if (aln2.q_start != 0 or aln2.q_end != len(sub_q)
-            or aln2.matches < aln.matches):
+            or aln2.matches < aln.matches or new_score <= 0):
         return aln
     return Alignment(
-        _score_ops(aln2, params),
+        new_score,
         aln.q_start + aln2.q_start, aln.q_start + aln2.q_end,
         aln2.t_start, aln2.t_end,
         aln2.ops, aln2.matches, aln2.mismatches,
@@ -414,17 +417,28 @@ def split_target_gap_junk(
     identity filter, leaving the masked requery to place those query
     bases at their true locus."""
     cuts: List[int] = []
+    # per-side error tallies are GAP-INCLUSIVE: a paralogous flank the DP
+    # threads with several small indels can show clean identity over its
+    # M runs alone (the misleading-identity trap split_alignment's
+    # docstring warns about), so sub-threshold internal gap bases count
+    # as errors in their side's denominator
+    side_gaps: List[int] = [0]
     qpos = aln.q_start
     for op, ln in aln.ops:
         if op in "MI":  # both consume query
             qpos += ln
+            if op == "I":
+                side_gaps[-1] += ln
         elif ln >= min_t_gap:
             cuts.append(qpos)
+            side_gaps.append(0)
+        else:
+            side_gaps[-1] += ln
     if not cuts:
         return [aln]
     bounds = [aln.q_start] + cuts + [aln.q_end]
 
-    def side_identity(lo: int, hi: int) -> float:
+    def side_identity(lo: int, hi: int, gap_bases: int) -> float:
         m = mm = 0
         for bq, bt, ln in aln.blocks:
             s, e = max(bq, lo), min(bq + ln, hi)
@@ -433,10 +447,11 @@ def split_target_gap_junk(
                 eq = int(np.sum(q[s:e] == t[bt + off:bt + off + (e - s)]))
                 m += eq
                 mm += (e - s) - eq
-        return m / (m + mm) if (m + mm) else 0.0
+        denom = m + mm + gap_bases
+        return m / denom if denom else 0.0
 
-    if all(side_identity(bounds[i], bounds[i + 1]) >= min_identity
-           for i in range(len(bounds) - 1)):
+    if all(side_identity(bounds[i], bounds[i + 1], side_gaps[i])
+           >= min_identity for i in range(len(bounds) - 1)):
         return [aln]
     out: List[Alignment] = []
     for i in range(len(bounds) - 1):

@@ -55,6 +55,22 @@ def test_sw_vs_oracle_batched():
             assert (qe[b], te[b]) == (-1, -1)
 
 
+def test_default_scoring_scale_pinned():
+    """The production scoring scale is an explicit contract: the SW
+    oracle tracks SWParams() (so kernel-vs-oracle tests stay coherent
+    under deliberate scale changes), which means an ACCIDENTAL default
+    change would no longer fail those tests — this pin is the tripwire.
+    Change it only together with full sweep revalidation (r4: a 4x
+    long-gap-friendly default was tried and broke translocation
+    termination; the scale is load-bearing)."""
+    from breakmer_tpu.config import Config
+
+    assert SWParams() == (2, 3, 5, 1)
+    cfg = Config()
+    assert (cfg.match_score, cfg.mismatch_pen, cfg.gap_open_pen,
+            cfg.gap_extend_pen) == (2, 3, 5, 1)
+
+
 def test_sw_custom_params():
     params = SWParams(match=1, mismatch=1, gap_open=2, gap_extend=1)
     pairs = CASES

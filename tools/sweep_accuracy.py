@@ -227,7 +227,10 @@ def main() -> int:
     ap.add_argument("--polymorphism", action="store_true",
                     help="benign germline het/hom SNPs + 1-6bp indels in "
                          "the sample (no matched normal on FP panels)")
-    ap.add_argument("--out", default=str(REPO / "ACCURACY_r04.json"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path; default depends on mode so a "
+                         "mode flag can never clobber another mode's "
+                         "committed artifact")
     ap.add_argument("--sub-rate", type=float, default=None,
                     help="override ErrorModel.sub_rate (stress runs)")
     ap.add_argument("--indel-rate", type=float, default=None)
@@ -245,6 +248,12 @@ def main() -> int:
     from tests.fixtures import Polymorphism
 
     poly = Polymorphism() if args.polymorphism else None
+    if args.out is None:
+        tag = ("EXTREMES" if args.extremes
+               else "REPEATS" if args.genome == "repeats"
+               else "POLY" if args.polymorphism else None)
+        args.out = str(REPO / (f"ACCURACY_{tag}_r04.json" if tag
+                               else "ACCURACY_r04.json"))
 
     t0 = time.time()
     stats = defaultdict(lambda: {"n": 0, "ok": 0, "fail": 0})

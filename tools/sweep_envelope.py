@@ -108,13 +108,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=16)
     ap.add_argument("--start-seed", type=int, default=0)
-    ap.add_argument("--out", default=str(REPO / "ENVELOPE_r03.json"))
+    ap.add_argument("--out", default=None,
+                    help="default ENVELOPE_r04.json, or "
+                         "ENVELOPE_TUNED_r04.json with --profile tuned")
     ap.add_argument("--profile", choices=sorted(PROFILES),
                     default="default")
     ap.add_argument("--sub-rates", default=None,
                     help="comma list overriding the error-rate axis "
                          "(tuned runs usually sweep only the cliff row)")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = str(REPO / ("ENVELOPE_TUNED_r04.json"
+                               if args.profile == "tuned"
+                               else "ENVELOPE_r04.json"))
     sub_rates = ([float(x) for x in args.sub_rates.split(",")]
                  if args.sub_rates else SUB_RATES)
 
