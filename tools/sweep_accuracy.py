@@ -249,9 +249,12 @@ def main() -> int:
 
     poly = Polymorphism() if args.polymorphism else None
     if args.out is None:
-        tag = ("EXTREMES" if args.extremes
-               else "REPEATS" if args.genome == "repeats"
-               else "POLY" if args.polymorphism else None)
+        if args.extremes:
+            tag = "EXTREMES"
+        else:
+            parts = (["REPEATS"] if args.genome == "repeats" else []) + (
+                ["POLY"] if args.polymorphism else [])
+            tag = "_".join(parts) or None
         args.out = str(REPO / (f"ACCURACY_{tag}_r04.json" if tag
                                else "ACCURACY_r04.json"))
 
