@@ -238,6 +238,7 @@ def realign_contigs(
     min_seg_score: Optional[int] = None,
     full_hit_cov: float = 0.95,
     max_q_gap: int = 50,
+    genome_margins: bool = True,
 ) -> List[List[AlignSegment]]:
     """Iteratively align MANY contigs, masking accepted segments — all
     contigs advance in lockstep rounds and every round's SW scoring of
@@ -249,6 +250,12 @@ def realign_contigs(
     Per-contig semantics are identical to the serial loop (the reference
     flow, SURVEY.md §3.3: blat-vs-region, genome fallback, greedy
     disjoint segments via query masking); results are byte-identical.
+
+    ``genome_margins``: gather genome candidate windows in EVERY round so
+    uniqueness margins (second_score) are genome-aware — required for the
+    repeat filter's rescue, but ~3x warm realign cost on panels; callers
+    disable it when no repeat mask is loaded (margins then stay -1 =
+    unknown and the rescue never fires).
     """
     from breakmer_tpu.utils.meter import METER
 
@@ -257,13 +264,13 @@ def realign_contigs(
     with METER.stage("realign"):
         return _realign_contigs(
             contigs, genome, params, max_segments, min_seg_len, min_identity,
-            min_seg_score, full_hit_cov, max_q_gap,
+            min_seg_score, full_hit_cov, max_q_gap, genome_margins,
         )
 
 
 def _realign_contigs(
     contigs, genome, params, max_segments, min_seg_len, min_identity,
-    min_seg_score, full_hit_cov, max_q_gap,
+    min_seg_score, full_hit_cov, max_q_gap, genome_margins=True,
 ) -> List[List[AlignSegment]]:
     works = [
         _Work(np.asarray(codes, dtype=np.int8).copy(), region, [])
@@ -287,12 +294,21 @@ def _realign_contigs(
             # competitor exists" and let the repeat rescue fire on
             # round-1 segments whose paralogs were never scored (r4
             # review #1)
-            gathered = _gather(wk, genome)
-            if not gathered:
-                wk.done = True
-            elif wk.n_region_windows == 0:
-                # region pass empty -> genome placement right away
-                wk.use_genome = True
+            if genome_margins or wk.use_genome:
+                gathered = _gather(wk, genome)
+                if not gathered:
+                    wk.done = True
+                elif wk.n_region_windows == 0:
+                    # region pass empty -> genome placement right away
+                    wk.use_genome = True
+            else:
+                # margins off: old two-pass gather (region-only pass 1)
+                gathered = _gather(wk, None)
+                if not gathered and genome is not None:
+                    wk.use_genome = True
+                    gathered = _gather(wk, genome)
+                if not gathered:
+                    wk.done = True
         active = [wk for wk in active if not wk.done]
         if not active:
             break
@@ -346,8 +362,12 @@ def _realign_contigs(
             b_off = wk.region.start if best < wk.n_region_windows else 0
             bc = bw.chrom or wk.region.chrom
             bs, be = b_off + bw.t_start, b_off + bw.t_end
-            second = 0
-            for j in range(count):
+            # a margin is only meaningful when genome-wide competitors
+            # were in this round's batch (or no genome index exists)
+            margins_valid = (genome is None or genome_margins
+                             or wk.use_genome)
+            second = 0 if margins_valid else -1
+            for j in range(count if margins_valid else 0):
                 if j == best:
                     continue
                 w2 = wk.windows[j]

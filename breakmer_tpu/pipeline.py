@@ -170,6 +170,14 @@ class TargetPipeline:
             min_identity=cfg.min_identity,
             full_hit_cov=cfg.full_hit_cov,
             max_segments=cfg.max_segments,
+            # genome-aware uniqueness margins cost ~3x warm realign time
+            # (genome candidate gathering per contig per round); only the
+            # repeat filter's rescue consumes them, so pay only when an
+            # rmask is actually loaded with the rescue enabled — without
+            # margins second_score stays -1 and the rescue (correctly)
+            # never fires
+            genome_margins=bool(cfg.repeat_mask_file)
+            and cfg.repeat_uniq_rescue and not cfg.keep_repeat_regions,
         )
 
     def assemble_contigs(self) -> List[Contig]:
