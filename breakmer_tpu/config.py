@@ -127,6 +127,13 @@ class Config:
     #                                uncallable (r4 repeat-genome sweeps).
     repeat_uniq_ratio: float = 0.9
     min_complexity: float = 0.25   # low-complexity contig filter threshold
+    dedup_identical_events: bool = True  # collapse per-contig events that
+    #                                are identical in call content (two
+    #                                het-haplotype contigs of one junction
+    #                                that exact-overlap OLC cannot merge);
+    #                                survivor keeps max support counts,
+    #                                duplicates get filter_reason
+    #                                'duplicate_call' (observability)
     keep_repeat_regions: bool = False
     keep_intron_vars: bool = False
 

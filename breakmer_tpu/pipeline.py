@@ -50,6 +50,33 @@ class RegionResult:
     error: Optional[str] = None
 
 
+def _dedup_identical(events):
+    """Suppress events identical in CALL content (type, subtype, size,
+    breakpoints, strands) emitted by sister contigs — e.g. two haplotype
+    contigs of one het junction that exact-overlap OLC cannot merge
+    (they differ by het SNPs). Per-contig duplicate rows are pure noise
+    downstream; the survivor is the first-seen event (contig order is
+    deterministic) with the maximum support counts over the group.
+    Config knob ``dedup_identical_events`` (default on) restores
+    per-contig emission when off (r4)."""
+    seen = {}
+    out = []
+    for ev in events:
+        key = (ev.sv_type, ev.sv_subtype, ev.size, tuple(ev.breakpoints),
+               ev.strands)
+        first = seen.get(key)
+        if first is None:
+            seen[key] = ev
+            out.append(ev)
+        else:
+            first.split_read_count = max(first.split_read_count,
+                                         ev.split_read_count)
+            first.disc_read_count = max(first.disc_read_count,
+                                        ev.disc_read_count)
+            ev.filter_reason = "duplicate_call"
+    return out
+
+
 class TargetPipeline:
     """Drives one target region end-to-end (reference: class target)."""
 
@@ -335,6 +362,8 @@ class TargetPipeline:
                     else:
                         kept.append(ev)
                 result.events = kept
+            if cfg.dedup_identical_events:
+                result.events = _dedup_identical(result.events)
         return result
 
     def resolve_sv(self) -> RegionResult:

@@ -66,6 +66,23 @@ def test_repeat_filter_uniqueness_rescue():
     assert check_event(ev5, _cfg(keep_repeat_regions=True), rmask=rm) is None
 
 
+def test_dedup_identical_events():
+    """Two sister contigs (het haplotypes of one junction) emit events
+    identical in call content: the dedup keeps the first with max
+    support and tags the duplicate 'duplicate_call' (r4; knob
+    dedup_identical_events)."""
+    from breakmer_tpu.pipeline import _dedup_identical
+
+    a = _dummy_event(split_read_count=5, disc_read_count=1, contig_id="c1")
+    b = _dummy_event(split_read_count=9, disc_read_count=0, contig_id="c2")
+    c = _dummy_event(size=33, contig_id="c3")  # different call: kept
+    out = _dedup_identical([a, b, c])
+    assert out == [a, c]
+    assert a.split_read_count == 9 and a.disc_read_count == 1
+    assert b.filter_reason == "duplicate_call"
+    assert c.filter_reason is None
+
+
 def test_config_validate_missing():
     cfg = Config()
     with pytest.raises(ValueError, match="targets_bed_file"):
