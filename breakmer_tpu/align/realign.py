@@ -349,10 +349,24 @@ def _realign_contigs(
             best = int(np.argmax(scores[sl][:place_n]))
             if int(scores[sl][best]) < min_seg_score:
                 if genome is not None and not wk.use_genome:
-                    wk.use_genome = True  # retry genome-wide next round
+                    wk.use_genome = True
+                    if count > place_n:
+                        # margins mode already scored the genome windows
+                        # in THIS batch — the pass-2 winner is the same
+                        # one the retry round would re-gather and
+                        # re-score, so select it now and save a lockstep
+                        # round (~tens of ms relay dispatch)
+                        best = int(np.argmax(scores[sl]))
+                        if int(scores[sl][best]) >= min_seg_score:
+                            pass  # fall through to _process_winner
+                        else:
+                            wk.done = True
+                            continue
+                    else:
+                        continue  # retry genome-wide next round
                 else:
                     wk.done = True
-                continue
+                    continue
             # runner-up among windows genomically DISJOINT from the winner
             # (either strand): the round's free placement-uniqueness
             # margin (AlignSegment.second_score). Windows overlapping the

@@ -420,25 +420,29 @@ def split_target_gap_junk(
     # per-side error tallies are GAP-INCLUSIVE: a paralogous flank the DP
     # threads with several small indels can show clean identity over its
     # M runs alone (the misleading-identity trap split_alignment's
-    # docstring warns about), so sub-threshold internal gap bases count
-    # as errors in their side's denominator
+    # docstring warns about). Each sub-threshold gap counts as ONE error
+    # EVENT (not its base length): an indel is a single mutation, and
+    # per-base counting would split a real deletion whose short flank
+    # carries one benign germline indel — the threading signature is
+    # SEVERAL small gaps plus scattered mismatches, which event-counting
+    # still catches.
     side_gaps: List[int] = [0]
     qpos = aln.q_start
     for op, ln in aln.ops:
         if op in "MI":  # both consume query
             qpos += ln
             if op == "I":
-                side_gaps[-1] += ln
+                side_gaps[-1] += 1
         elif ln >= min_t_gap:
             cuts.append(qpos)
             side_gaps.append(0)
         else:
-            side_gaps[-1] += ln
+            side_gaps[-1] += 1
     if not cuts:
         return [aln]
     bounds = [aln.q_start] + cuts + [aln.q_end]
 
-    def side_identity(lo: int, hi: int, gap_bases: int) -> float:
+    def side_identity(lo: int, hi: int, gap_events: int) -> float:
         m = mm = 0
         for bq, bt, ln in aln.blocks:
             s, e = max(bq, lo), min(bq + ln, hi)
@@ -447,7 +451,7 @@ def split_target_gap_junk(
                 eq = int(np.sum(q[s:e] == t[bt + off:bt + off + (e - s)]))
                 m += eq
                 mm += (e - s) - eq
-        denom = m + mm + gap_bases
+        denom = m + mm + gap_events
         return m / denom if denom else 0.0
 
     if all(side_identity(bounds[i], bounds[i + 1], side_gaps[i])

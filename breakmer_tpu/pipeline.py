@@ -62,8 +62,12 @@ def _dedup_identical(events):
     seen = {}
     out = []
     for ev in events:
+        # strand is REPRESENTATION for single-junction indels (a sister
+        # contig assembled reverse-complement makes the same call with
+        # strands '-'); it is call content only for rearrangements/trl
+        # where orientation distinguishes events
         key = (ev.sv_type, ev.sv_subtype, ev.size, tuple(ev.breakpoints),
-               ev.strands)
+               None if ev.sv_type == "indel" else ev.strands)
         first = seen.get(key)
         if first is None:
             seen[key] = ev
@@ -200,10 +204,13 @@ class TargetPipeline:
             # genome-aware uniqueness margins cost ~3x warm realign time
             # (genome candidate gathering per contig per round); only the
             # repeat filter's rescue consumes them, so pay only when an
-            # rmask is actually loaded with the rescue enabled — without
-            # margins second_score stays -1 and the rescue (correctly)
-            # never fires
-            genome_margins=bool(cfg.repeat_mask_file)
+            # rmask is actually in play (the one INJECTED into this
+            # pipeline, not just the config path — TargetPipeline
+            # supports direct rmask injection) with the rescue enabled —
+            # without margins second_score stays -1 and the rescue
+            # (correctly) never fires
+            genome_margins=(self.rmask is not None
+                            or bool(cfg.repeat_mask_file))
             and cfg.repeat_uniq_rescue and not cfg.keep_repeat_regions,
         )
 

@@ -253,7 +253,8 @@ def main() -> int:
             tag = "EXTREMES"
         else:
             parts = (["REPEATS"] if args.genome == "repeats" else []) + (
-                ["POLY"] if args.polymorphism else [])
+                ["POLY"] if args.polymorphism else []) + (
+                ["STRESS"] if em_kw else [])  # error-model overrides
             tag = "_".join(parts) or None
         args.out = str(REPO / (f"ACCURACY_{tag}_r04.json" if tag
                                else "ACCURACY_r04.json"))

@@ -118,9 +118,13 @@ def main() -> int:
                          "(tuned runs usually sweep only the cliff row)")
     args = ap.parse_args()
     if args.out is None:
-        args.out = str(REPO / ("ENVELOPE_TUNED_r04.json"
-                               if args.profile == "tuned"
-                               else "ENVELOPE_r04.json"))
+        # a custom error-rate axis must not clobber the full-grid
+        # committed artifact either
+        base = ("ENVELOPE_TUNED_r04" if args.profile == "tuned"
+                else "ENVELOPE_r04")
+        if args.sub_rates and args.profile != "tuned":
+            base += "_CUSTOM"
+        args.out = str(REPO / (base + ".json"))
     sub_rates = ([float(x) for x in args.sub_rates.split(",")]
                  if args.sub_rates else SUB_RATES)
 
