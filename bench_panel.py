@@ -85,7 +85,7 @@ PANEL_BASELINE = Path(__file__).parent / "bench_panel_baseline.json"
 CPU_BASELINE = Path(__file__).parent / "bench_panel_cpu_baseline.json"
 
 
-def cpu_check(update: bool = False) -> int:
+def cpu_check(update: bool = False, warm_runs: int = 3) -> int:
     """--cpu-check: warm CPU panel throughput at 20/100 genes vs the
     committed self-baseline (bench_panel_cpu_baseline.json). The TPU
     relay drifts +-30% day to day (CLAUDE.md trap #7), so host-path
@@ -93,7 +93,14 @@ def cpu_check(update: bool = False) -> int:
     host are the stable comparator (VERDICT r3 weak #4). --cpu-update
     rewrites the baseline. Exit 1 when any shape is >25% below
     baseline. NEVER run while another bench/sweep is running — this
-    2-vCPU host cross-pollutes wall times 2x (CLAUDE.md trap #6)."""
+    2-vCPU host cross-pollutes wall times 2x (CLAUDE.md trap #6).
+
+    The gated number is the MEDIAN of ``warm_runs`` (3) warm runs per
+    panel: a single warm sample on this 2-vCPU host has ~±20% scatter
+    (a judge-measured false-fail at drift 0.712 vs 0.896/0.814 on
+    identical code — VERDICT r4 weak #1), which straddles the 0.75
+    threshold; the median of 3 sits inside ±8% on an idle host while a
+    real 25% host-path regression still trips the gate."""
     from breakmer_tpu.device import configure
 
     configure("cpu")
@@ -103,11 +110,17 @@ def cpu_check(update: bool = False) -> int:
         try:
             cfg = build_panel(work, n_genes, 6)
             cold = run_once(cfg)
-            shutil.rmtree(cfg.analysis_dir, ignore_errors=True)
-            warm = run_once(cfg)
+            warms = []
+            for _ in range(max(1, warm_runs)):
+                shutil.rmtree(cfg.analysis_dir, ignore_errors=True)
+                warms.append(run_once(cfg))
+            times = sorted(w["elapsed_s"] for w in warms)
+            med = times[len(times) // 2]
+            warm = warms[0]
             results[f"{n_genes}g"] = {
-                "regions_per_s": round(warm["targets"] / warm["elapsed_s"], 2),
-                "warm_s": round(warm["elapsed_s"], 3),
+                "regions_per_s": round(warm["targets"] / med, 2),
+                "warm_s": round(med, 3),
+                "warm_s_all": [round(t, 3) for t in times],
                 "cold_s": round(cold["elapsed_s"], 2),
                 "calls": warm["calls"],
             }

@@ -85,6 +85,13 @@ class AlignSegment:
     # re-gathers candidates for the remaining query only, so a
     # competitor recorded here competed for THIS segment's bases.
     second_score: int = -1
+    # SW score of the ROUND winner that produced this segment: pieces cut
+    # out of one winner traceback (split_alignment / gap-junk splitting)
+    # inherit the round's second_score, so the rescue ratio test must
+    # compare against the same whole-round scale, not the post-split
+    # piece score (ADVICE r4 #2). -1 = unset -> callers fall back to
+    # the piece score.
+    round_score: int = -1
 
     @property
     def identity(self) -> float:
@@ -115,6 +122,22 @@ class _Work:
     windows: List[Window] = dataclasses.field(default_factory=list)
     window_codes: List[np.ndarray] = dataclasses.field(default_factory=list)
     n_region_windows: int = 0
+
+
+def _min_fwd_span(q_end: int, score: int, strand: str, L: int,
+                  match: int) -> Tuple[int, int]:
+    """Minimal FORWARD-contig query interval a path with ``score`` ending
+    at device best cell ``q_end`` (0-based inclusive, path orientation)
+    must cover: at least ceil(score/match) query bases (all-match lower
+    bound). Used to tell sibling-segment windows (disjoint query bases)
+    from true competitors in the uniqueness margin (ADVICE r4 #1)."""
+    if score <= 0:
+        return (0, 0)
+    m = min((score + match - 1) // match, q_end + 1)
+    lo, hi = q_end + 1 - m, q_end + 1
+    if strand == "+":
+        return lo, hi
+    return L - hi, L - lo
 
 
 def _gather(work: _Work, genome: Optional[GenomeIndex]) -> bool:
@@ -207,6 +230,7 @@ def _process_winner(
             alignment=aln,
             in_target=is_region_window,
             second_score=second_score,
+            round_score=aln_whole.score,
         )
         if seg.identity < min_identity:
             continue
@@ -381,6 +405,11 @@ def _realign_contigs(
             margins_valid = (genome is None or genome_margins
                              or wk.use_genome)
             second = 0 if margins_valid else -1
+            L_q = len(wk.masked)
+            b_qlo, b_qhi = _min_fwd_span(
+                int(q_ends[sl][best]), int(scores[sl][best]),
+                bw.strand, L_q, params.match,
+            )
             for j in range(count if margins_valid else 0):
                 if j == best:
                     continue
@@ -390,8 +419,21 @@ def _realign_contigs(
                 if c2 == bc and off2 + w2.t_start < be and off2 + w2.t_end > bs:
                     continue
                 sc = int(scores[sl][j])
-                if sc > second:
-                    second = sc
+                if sc <= second:
+                    continue
+                # sibling-segment exclusion (ADVICE r4 #1): on a round-1
+                # multi-locus contig (trl/dup/inv) the OTHER segment's
+                # true locus is genomically disjoint from the winner but
+                # aligns a DIFFERENT query interval — it is not a
+                # competitor for the winner's bases. Require the
+                # minimal query spans (>= score/match bases ending at the
+                # device best cell, in forward-contig coords) to overlap.
+                j_qlo, j_qhi = _min_fwd_span(
+                    int(q_ends[sl][j]), sc, w2.strand, L_q, params.match,
+                )
+                if j_qhi <= b_qlo or j_qlo >= b_qhi:
+                    continue
+                second = sc
             _process_winner(
                 wk, best, int(scores[sl][best]),
                 int(q_ends[sl][best]), int(t_ends[sl][best]),

@@ -381,9 +381,14 @@ def rederive_fragmented_gaps(
     aln2 = traceback_align(sub_q, t, p2)
     new_score = _score_ops(aln2, params)
     # the re-derivation skips the caller's positive-score guard (it runs
-    # after), so a non-positive re-expressed score must never be adopted
+    # after), so a non-positive re-expressed score must never be adopted.
+    # The re-derived TARGET span must also overlap the original: inside a
+    # long tandem array the x4-scale DP could place its single gap one
+    # repeat unit away (representation-ambiguous, but the parity rule must
+    # be pinned deterministically — ADVICE r4 #3).
     if (aln2.q_start != 0 or aln2.q_end != len(sub_q)
-            or aln2.matches < aln.matches or new_score <= 0):
+            or aln2.matches < aln.matches or new_score <= 0
+            or aln2.t_start >= aln.t_end or aln2.t_end <= aln.t_start):
         return aln
     return Alignment(
         new_score,

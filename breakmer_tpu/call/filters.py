@@ -105,12 +105,20 @@ def check_event(
                 # competing placement comes close, the repeat annotation
                 # alone does not make the mapping ambiguous — reject only
                 # truly multi-mapping anchors (config.repeat_uniq_rescue).
+                # The ratio test runs on the ROUND-winner scale: pieces
+                # split out of one winner traceback inherit the round's
+                # second_score, so comparing against the (smaller) piece
+                # score under-fires the rescue on correctly-unique small
+                # pieces (ADVICE r4 #2).
                 second = getattr(seg, "second_score", -1)
+                winner = getattr(seg, "round_score", -1)
+                if winner <= 0:
+                    winner = seg.score
                 if (
                     cfg.repeat_uniq_rescue
                     and second >= 0
-                    and seg.score > 0
-                    and second <= cfg.repeat_uniq_ratio * seg.score
+                    and winner > 0
+                    and second <= cfg.repeat_uniq_ratio * winner
                 ):
                     continue
                 return f"repeat_overlap:{frac:.2f}>{cfg.max_repeat_frac}"

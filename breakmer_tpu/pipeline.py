@@ -66,8 +66,19 @@ def _dedup_identical(events):
         # contig assembled reverse-complement makes the same call with
         # strands '-'); it is call content only for rearrangements/trl
         # where orientation distinguishes events
+        #
+        # insertions additionally key on the inserted CONTENT
+        # (orientation-normalized junction_q slice): two distinct
+        # same-size inserts at one breakpoint (tri-allelic het) are
+        # different calls, not duplicates (ADVICE r4 #4)
+        ins_key = None
+        if (ev.sv_subtype == "I" and len(ev.junction_q) == 2
+                and ev.contig_seq):
+            raw = ev.contig_seq[ev.junction_q[0]:ev.junction_q[1]]
+            rc = raw.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            ins_key = min(raw, rc)
         key = (ev.sv_type, ev.sv_subtype, ev.size, tuple(ev.breakpoints),
-               None if ev.sv_type == "indel" else ev.strands)
+               None if ev.sv_type == "indel" else ev.strands, ins_key)
         first = seen.get(key)
         if first is None:
             seen[key] = ev

@@ -66,6 +66,63 @@ def test_repeat_filter_uniqueness_rescue():
     assert check_event(ev5, _cfg(keep_repeat_regions=True), rmask=rm) is None
 
 
+def test_rescue_ratio_uses_round_winner_score():
+    """Pieces cut from one winner traceback inherit the ROUND's
+    second_score; the rescue ratio must compare against the round winner
+    score, not the smaller piece score (ADVICE r4 #2): a unique small
+    piece (second 150 vs round winner 400) is rescued even though
+    150 > 0.9 x its own piece score of 100."""
+    rm = RepeatMask({"chr1": [(0, 1000)]})
+    seg = _seg(score=100, second=150, t_start=100, t_end=200)
+    seg.round_score = 400
+    ev = _dummy_event(segments=[seg])
+    assert check_event(ev, _cfg(), rmask=rm) is None
+    # no round_score recorded (-1) -> falls back to the piece score
+    seg2 = _seg(score=100, second=150, t_start=100, t_end=200)
+    assert seg2.round_score == -1
+    r = check_event(_dummy_event(segments=[seg2]), _cfg(), rmask=rm)
+    assert r and r.startswith("repeat_overlap")
+
+
+def test_margin_min_fwd_span():
+    """_min_fwd_span: the minimal forward-contig interval a scoring path
+    must cover (ADVICE r4 #1 sibling-segment exclusion)."""
+    from breakmer_tpu.align.realign import _min_fwd_span
+
+    # '+' strand: score 20 at match=2 -> >=10 bases ending at cell 99
+    assert _min_fwd_span(99, 20, "+", 200, 2) == (90, 100)
+    # '-' strand: rc cell 99 in a 200-base contig maps to forward 100
+    assert _min_fwd_span(99, 20, "-", 200, 2) == (100, 110)
+    # zero/negative score -> empty span (never treated as a competitor)
+    assert _min_fwd_span(99, 0, "+", 200, 2) == (0, 0)
+    # score larger than q_end+1 bases clamps to the available prefix
+    assert _min_fwd_span(4, 100, "+", 200, 2) == (0, 5)
+
+
+def test_sibling_segment_not_margin_competitor():
+    """A two-locus contig (translocation shape): the sibling segment's
+    locus aligns DIFFERENT query bases, so it must not suppress the
+    winner's uniqueness margin (ADVICE r4 #1). Each accepted segment's
+    second_score stays far below its score even though the other locus
+    scored comparably in the same round's batch."""
+    from breakmer_tpu.align.realign import realign_contig
+
+    ref = _rand(91, 1200)
+    # contig = [ref 100:300] + [ref 700:900]: two disjoint loci in one
+    # region; round 1 scores both windows, each the other's "runner-up"
+    contig_seq = ref[100:300] + ref[700:900]
+    segs = realign_contig(
+        encode_seq(contig_seq), RegionRef.build("chr1", 0, encode_seq(ref))
+    )
+    assert len(segs) == 2
+    for seg in segs:
+        assert seg.second_score >= 0  # margins were recorded
+        # the sibling locus scored ~= seg.score but competes for
+        # DIFFERENT contig bases: excluded from the margin
+        assert seg.second_score <= 0.5 * seg.score, (
+            seg.second_score, seg.score)
+
+
 def test_dedup_identical_events():
     """Two sister contigs (het haplotypes of one junction) emit events
     identical in call content: the dedup keeps the first with max
@@ -81,6 +138,35 @@ def test_dedup_identical_events():
     assert a.split_read_count == 9 and a.disc_read_count == 1
     assert b.filter_reason == "duplicate_call"
     assert c.filter_reason is None
+
+
+def test_dedup_insertion_content_distinguishes():
+    """Two same-size insertions at one breakpoint with DIFFERENT inserted
+    sequence (tri-allelic het) are distinct calls, not duplicates; a
+    sister contig assembled reverse-complement (insert slice is the RC)
+    still dedups (ADVICE r4 #4)."""
+    from breakmer_tpu.pipeline import _dedup_identical
+
+    ins_a, ins_b = "ACGTACGTACGTACGTACGT", "TTTTGGGGCCCCAAAATTGG"
+    flank_l, flank_r = _rand(5, 30), _rand(6, 30)
+
+    def ev(ins, rc=False, cid="c"):
+        seq = flank_l + ins + flank_r
+        if rc:
+            seq = seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            jq = [len(flank_r), len(flank_r) + len(ins)]
+        else:
+            jq = [len(flank_l), len(flank_l) + len(ins)]
+        return _dummy_event(size=len(ins), contig_seq=seq, junction_q=jq,
+                            contig_id=cid)
+
+    a, b = ev(ins_a, cid="c1"), ev(ins_b, cid="c2")
+    out = _dedup_identical([a, b])
+    assert out == [a, b]  # different content -> both kept
+    c, d = ev(ins_a, cid="c3"), ev(ins_a, rc=True, cid="c4")
+    out2 = _dedup_identical([c, d])
+    assert out2 == [c]  # same insert up to RC -> deduped
+    assert d.filter_reason == "duplicate_call"
 
 
 def test_config_validate_missing():

@@ -162,18 +162,26 @@ def run_fp_seed(seed: int, fp_stats, fp_details, error_model=None,
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_extremes(args, stats, failures, error_model, t0) -> int:
+def run_extremes(args, stats, failures, error_model, t0,
+                 genome_model=None, polymorphism=None) -> int:
     """--extremes: per-kind recall over the wide-region extreme panel
-    (tests/scenarios.build_extremes_scenario; VERDICT r3 missing #4)."""
+    (tests/scenarios.build_extremes_scenario; VERDICT r3 missing #4).
+    Combinable with --genome repeats / --polymorphism so the multi-kb
+    events meet tandem arrays, Alu copies, and het variation (VERDICT
+    r4 missing #3)."""
     from tests.scenarios import build_extremes_scenario
 
+    ctx_stats = defaultdict(lambda: {"n": 0, "ok": 0})
     for i in range(args.seeds):
         seed = args.start_seed + i
         work = Path(tempfile.mkdtemp(prefix=f"ext{seed}_"))
         try:
             kw = ({} if error_model is None
                   else {"error_model": error_model})
-            cfg_kwargs, checks = build_extremes_scenario(seed, work, **kw)
+            meta: dict = {}
+            cfg_kwargs, checks = build_extremes_scenario(
+                seed, work, genome_model=genome_model,
+                polymorphism=polymorphism, meta_out=meta, **kw)
             runner = Runner(Config(**cfg_kwargs))
             runner.setup()
             events = runner.run()
@@ -181,12 +189,16 @@ def run_extremes(args, stats, failures, error_model, t0) -> int:
                 evs = [e for e in events if e.genes.split(",")[0] == gene]
                 fails = check(evs)
                 stats[kind]["n"] += 1
+                ctx = _junction_context(
+                    meta.get("junction_mask_dist", {}).get(gene, []))
+                ctx_stats[ctx]["n"] += 1
                 if fails:
                     stats[kind]["fail"] += 1
-                    failures.extend(f"seed {seed} {gene}: {f}"
+                    failures.extend(f"seed {seed} {gene} [{ctx}]: {f}"
                                     for f in fails)
                 else:
                     stats[kind]["ok"] += 1
+                    ctx_stats[ctx]["ok"] += 1
         finally:
             shutil.rmtree(work, ignore_errors=True)
         if (i + 1) % 10 == 0:
@@ -201,14 +213,25 @@ def run_extremes(args, stats, failures, error_model, t0) -> int:
     }
     out = {
         "artifact": "extreme-SV sweep (size boundaries, multi-kb events, "
-                    "reciprocal trl + BND MATEID consistency)",
+                    "reciprocal trl + BND MATEID consistency"
+                    + (", repeat-rich genome" if genome_model else "")
+                    + (", germline polymorphism" if polymorphism else "")
+                    + ")",
         "seeds": args.seeds,
         "start_seed": args.start_seed,
+        "genome_model": genome_model.__dict__ if genome_model else None,
+        "polymorphism": polymorphism.__dict__ if polymorphism else None,
         "error_model": (error_model or ErrorModel()).__dict__,
         "recall": recall,
         "failures_sample": failures[:25],
         "wall_s": round(time.time() - t0, 1),
     }
+    if genome_model is not None:
+        out["recall_by_context"] = {
+            ctx: {"n": v["n"], "ok": v["ok"],
+                  "recall": round(v["ok"] / v["n"], 4) if v["n"] else None}
+            for ctx, v in sorted(ctx_stats.items())
+        }
     Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps({"recall": recall, "wall_s": out["wall_s"]}))
     return 0 if sum(v["fail"] for v in stats.values()) == 0 else 1
@@ -249,21 +272,20 @@ def main() -> int:
 
     poly = Polymorphism() if args.polymorphism else None
     if args.out is None:
-        if args.extremes:
-            tag = "EXTREMES"
-        else:
-            parts = (["REPEATS"] if args.genome == "repeats" else []) + (
-                ["POLY"] if args.polymorphism else []) + (
-                ["STRESS"] if em_kw else [])  # error-model overrides
-            tag = "_".join(parts) or None
-        args.out = str(REPO / (f"ACCURACY_{tag}_r04.json" if tag
-                               else "ACCURACY_r04.json"))
+        parts = (["EXTREMES"] if args.extremes else []) + (
+            ["REPEATS"] if args.genome == "repeats" else []) + (
+            ["POLY"] if args.polymorphism else []) + (
+            ["STRESS"] if em_kw else [])  # error-model overrides
+        tag = "_".join(parts) or None
+        args.out = str(REPO / (f"ACCURACY_{tag}_r05.json" if tag
+                               else "ACCURACY_r05.json"))
 
     t0 = time.time()
     stats = defaultdict(lambda: {"n": 0, "ok": 0, "fail": 0})
     failures: list[str] = []
     if args.extremes:
-        return run_extremes(args, stats, failures, error_model, t0)
+        return run_extremes(args, stats, failures, error_model, t0,
+                            genome_model=genome_model, polymorphism=poly)
     recall_filters: Counter = Counter()
     recall_totals = {"prefilter_events": 0}
     jn_stats = {"n": 0, "inside": 0, "within_50bp": 0}
