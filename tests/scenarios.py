@@ -80,11 +80,14 @@ def plant_sv(
     mid = start + int(rng.integers(200, span - 200))
     g = genome["chr1"]
 
+    oracle: dict = {}  # true alt haplotype + tiled window (floor oracle)
+
     def tile(hap: Haplotype, w0: int, w1: int, prefix: str,
              ref_chrom: str = "chr1", ref_lo: int = start,
              ref_hi: int = end) -> None:
         """Alt-haplotype junction reads + (vaf<1) reference-haplotype
         dilution reads over the matching window."""
+        oracle["hap"], oracle["w"] = hap, (w0, w1)
         if vaf >= 1.0:
             sam.add_haplotype_reads(hap, w0, w1, step=read_step,
                                     prefix=prefix)
@@ -314,6 +317,11 @@ def plant_sv(
         check.junctions = [("chr1", mid - size), ("chr1", mid)]
     else:
         check.junctions = [("chr1", mid)]
+    # the TRUE alt haplotype + tiled window: the floor-oracle experiment
+    # (tools/tandem_floor.py) injects hap.seq over this window as a
+    # perfect contig straight into realign+call to split misses into
+    # representation-floor vs pipeline-recoverable (VERDICT r4 next #2)
+    check.alt_haps = [(oracle["hap"], oracle["w"])]
     return kind, check
 
 
@@ -364,6 +372,10 @@ def plant_multi_sv(
         return fails
 
     check.junctions = [("chr1", m1), ("chr1", m2)]
+    check.alt_haps = [
+        (hap1, (m1 - start - 160, m1 - start + 140)),
+        (hap2, (m2 - start - 160, m2 - start + 140)),
+    ]
     return "multi", check
 
 

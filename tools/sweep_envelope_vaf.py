@@ -42,9 +42,27 @@ from tests.scenarios import build_scenario  # noqa: E402
 READ_LEN = 100
 VAFS = [0.5, 0.25, 0.1, 0.05]
 DEPTHS = [100, 250]
+# detection-boundary cells get dedicated per-kind statistical power:
+# >= 50 events per SV kind per cell (VERDICT r4 weak #3 — 12 random-kind
+# seeds put n=4-16 per kind exactly where the envelope bends)
+BOUNDARY_CELLS = [(0.05, 100), (0.05, 250), (0.025, 250)]
+SV_KINDS = ["ins", "del", "dup", "inv", "trl"]
 
 
-def run_cell(vaf: float, depth: int, seeds: int, start_seed: int):
+def wilson_ci(k: int, n: int, z: float = 1.959964) -> list:
+    if n == 0:
+        return [None, None]
+    p = k / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5) / denom
+    return [round(max(0.0, center - half), 4),
+            round(min(1.0, center + half), 4)]
+
+
+def run_cell(vaf: float, depth: int, seeds: int, start_seed: int,
+             kinds=None):
     step = READ_LEN / depth
     stats = defaultdict(lambda: {"n": 0, "ok": 0})
     fails: list[str] = []
@@ -54,6 +72,7 @@ def run_cell(vaf: float, depth: int, seeds: int, start_seed: int):
         try:
             cfg_kwargs, checks = build_scenario(
                 seed, work, n_genes=4, read_step=step, vaf=vaf,
+                kinds=kinds,
             )
             runner = Runner(Config(**cfg_kwargs))
             runner.setup()
@@ -70,7 +89,8 @@ def run_cell(vaf: float, depth: int, seeds: int, start_seed: int):
             shutil.rmtree(work, ignore_errors=True)
     per_kind = {
         k: {"n": v["n"], "ok": v["ok"],
-            "recall": round(v["ok"] / v["n"], 4)}
+            "recall": round(v["ok"] / v["n"], 4),
+            "recall_ci95": wilson_ci(v["ok"], v["n"])}
         for k, v in sorted(stats.items())
     }
     tot_n = sum(v["n"] for v in stats.values())
@@ -88,8 +108,11 @@ def run_cell(vaf: float, depth: int, seeds: int, start_seed: int):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=12)
+    ap.add_argument("--boundary-per-kind", type=int, default=52,
+                    help="min events per SV kind at each BOUNDARY_CELLS "
+                         "entry (planted as fixed-kind panels)")
     ap.add_argument("--start-seed", type=int, default=0)
-    ap.add_argument("--out", default=str(REPO / "ENVELOPE_VAF_r04.json"))
+    ap.add_argument("--out", default=str(REPO / "ENVELOPE_VAF_r05.json"))
     args = ap.parse_args()
     t0 = time.time()
     cells = []
@@ -100,11 +123,34 @@ def main() -> int:
             cells.append(cell)
             print(json.dumps({k: cell[k] for k in
                               ("vaf", "depth", "recall")}), flush=True)
-    # minimum VAF with recall >= 0.9 per kind per depth
+    # ---- powered boundary cells: fixed-kind panels, n>=50 per kind ----
+    boundary = []
+    n_seeds = (args.boundary_per_kind + 3) // 4  # 4 same-kind genes/seed
+    for vaf, depth in BOUNDARY_CELLS:
+        merged = {"vaf": vaf, "depth": depth,
+                  "alt_reads_at_junction": round(depth * vaf, 1),
+                  "per_kind": {}, "failures_sample": []}
+        for kind in SV_KINDS:
+            cell = run_cell(vaf, depth, n_seeds,
+                            args.start_seed + 500, kinds=[kind] * 4)
+            merged["per_kind"].update(cell["per_kind"])
+            merged["failures_sample"].extend(cell["failures_sample"][:2])
+        ns = [v["n"] for v in merged["per_kind"].values()]
+        oks = [v["ok"] for v in merged["per_kind"].values()]
+        merged["recall"] = round(sum(oks) / sum(ns), 4)
+        merged["wall_s"] = round(time.time() - t0, 1)
+        boundary.append(merged)
+        print(json.dumps({"boundary": [vaf, depth],
+                          "recall": merged["recall"],
+                          "per_kind": {k: v["recall"] for k, v in
+                                       merged["per_kind"].items()}}),
+              flush=True)
+    # minimum VAF with recall >= 0.9 per kind per depth; boundary cells
+    # (powered, n>=50/kind) override the thin random-kind grid cells
     min_vaf = {}
     for depth in DEPTHS:
         by_kind = defaultdict(dict)
-        for c in cells:
+        for c in cells + boundary:
             if c["depth"] != depth:
                 continue
             for k, v in c["per_kind"].items():
@@ -116,10 +162,14 @@ def main() -> int:
         }
     out = {
         "artifact": "VAF titration envelope (total junction depth fixed; "
-                    "alt fraction diluted by reference-haplotype reads)",
+                    "alt fraction diluted by reference-haplotype reads); "
+                    "boundary cells powered to >=50 events/kind with "
+                    "Wilson CIs",
         "seeds_per_cell": args.seeds,
+        "boundary_events_per_kind": n_seeds * 4,
         "grid": {"vaf": VAFS, "depth": DEPTHS},
         "cells": cells,
+        "boundary_cells": boundary,
         "min_detectable_vaf_recall90": min_vaf,
         "wall_s": round(time.time() - t0, 1),
     }
