@@ -19,7 +19,8 @@ import time
 from pathlib import Path
 
 
-def build_panel(work: Path, n_genes: int, read_step: int, nprocs: int = 1):
+def build_panel(work: Path, n_genes: int, read_step: int, nprocs: int = 1,
+                read_len: int = 100):
     sys.path.insert(0, str(Path(__file__).parent))
     from breakmer_tpu.config import Config
     from breakmer_tpu.io.fasta import write_fasta
@@ -45,10 +46,11 @@ def build_panel(work: Path, n_genes: int, read_step: int, nprocs: int = 1):
             ])
             sam.add_haplotype_reads(
                 hap, span // 2 - 180, span // 2 + 160, step=read_step,
-                prefix=f"g{g}r",
+                read_len=read_len, prefix=f"g{g}r",
             )
         sam.add_background_pairs("chr1", start - 300, end + 300,
-                                 step=read_step * 3, prefix=f"bg{g}")
+                                 step=read_step * 3, read_len=read_len,
+                                 prefix=f"bg{g}")
     (work / "targets.bed").write_text("".join(lines))
     sam.write(work / "sample.sam")
     return Config(

@@ -1,0 +1,280 @@
+"""Repeat-aware contig extension over ALL region reads (r5).
+
+Why this exists (beyond reference behavior): assembly consumes only
+SV-informative reads, and inside a tandem array most reads covering an
+indel are slippage-ABSORBED — they match the reference cleanly and are
+correctly never extracted, so the assembled contig ends a few dozen
+bases past the junction, still inside the array, where the event is
+representation-ambiguous: SW aligns the short contig gaplessly and the
+call vanishes (or slips by one repeat unit). The r5 true-haplotype
+oracle (TANDEM_FLOOR_r05.json) measured 32/45 tandem misses as exactly
+this: the same pipeline called them correctly when handed the wider alt
+haplotype. The missing bases are IN the sample — carried by the
+clean-mapped reads the extractor (correctly) skipped.
+
+This pass extends each assembled contig outward through those reads:
+an exact terminal-anchor lookup (k=31, injective 2-bit hash — no
+collisions possible) gathers every region read (both strands) that
+overlaps the contig end, and a per-column majority vote (min support 2,
+>= 70% agreement) appends their consensus continuation; repeat until
+the vote degrades, reads run out, or the growth cap. Votes are counts,
+so the result is order-independent; ties pick the smaller base code
+(pinned). The anchor-ambiguity failure mode (an anchor shorter than one
+repeat unit matches several phase-shifted positions of one read) shows
+up as mixed votes and stops the growth — the guard IS the detector.
+
+The reference pipeline (BreaKmer, sv_assembly.py [recon]) has no
+equivalent; it assembles sv-read fastqs only and inherits the absorbed
+blind spot. Config knobs: ``contig_extension`` (default on),
+``extension_anchor_k``, ``extension_max_grow``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from breakmer_tpu.assemble.greedy import Contig, ContigRead
+from breakmer_tpu.encode import ReadBatch, decode_seq, encode_seq, revcomp_codes
+
+
+def _anchor_hashes(codes: np.ndarray, lengths: np.ndarray, k: int):
+    """uint64 2-bit rolling codes of every length-k window: [R, W] plus
+    validity (in-length, N-free). k <= 31 fits 62 bits — injective, so a
+    hash EQUALITY is an exact sequence match (no verification pass)."""
+    R, L = codes.shape
+    W = L - k + 1
+    if W <= 0 or R == 0:
+        return (np.zeros((R, 0), dtype=np.uint64),
+                np.zeros((R, 0), dtype=bool))
+    acc = np.zeros((R, W), dtype=np.uint64)
+    bad = np.zeros((R, W), dtype=bool)
+    for j in range(k):
+        win = codes[:, j:j + W]
+        bad |= win >= 4
+        acc = (acc << np.uint64(2)) | np.where(
+            win >= 4, 0, win).astype(np.uint64)
+    pos = np.arange(W, dtype=np.int64)[None, :]
+    valid = (pos <= (lengths[:, None] - k)) & ~bad
+    return acc, valid
+
+
+def _hash_one(codes: np.ndarray) -> int:
+    h = np.uint64(0)
+    for c in codes:
+        h = (h << np.uint64(2)) | np.uint64(int(c))
+    return int(h)
+
+
+class ReadAnchorIndex:
+    """Exact k-anchor lookup over a region's reads, both strands.
+
+    rows: oriented code matrices (row r strand '-' is the revcomp of
+    read r, left-aligned to its true length) so an anchor hit at (row,
+    pos, strand) continues with ``oriented[row, pos+k:length]``."""
+
+    def __init__(self, batch: ReadBatch, k: int):
+        self.k = k
+        codes = np.asarray(batch.codes, dtype=np.int8)
+        lengths = np.asarray(batch.lengths, dtype=np.int64)
+        R, L = codes.shape
+        rc = np.full_like(codes, 4)
+        for r in range(R):
+            n = int(lengths[r])
+            rc[r, :n] = revcomp_codes(codes[r, :n])
+        self.oriented = np.stack([codes, rc]) if R else np.zeros(
+            (2, 0, 0), dtype=np.int8)  # [strand, R, L]
+        self.lengths = lengths
+        hf, vf = _anchor_hashes(codes, lengths, k)
+        hr, vr = _anchor_hashes(rc, lengths, k)
+        ent = []
+        for s, (h, v) in enumerate(((hf, vf), (hr, vr))):
+            rr, pp = np.nonzero(v)
+            ent.append(np.stack([h[rr, pp].astype(np.uint64),
+                                 np.full(len(rr), s, dtype=np.uint64),
+                                 rr.astype(np.uint64),
+                                 pp.astype(np.uint64)], axis=1))
+        table = (np.concatenate(ent) if ent and sum(map(len, ent))
+                 else np.zeros((0, 4), dtype=np.uint64))
+        # deterministic order: hash, then strand/row/pos
+        order = np.lexsort((table[:, 3], table[:, 2], table[:, 1],
+                            table[:, 0])) if len(table) else []
+        self.table = table[order] if len(table) else table
+
+    def lookup(self, h: int):
+        """(strand, row, pos) arrays of every exact anchor occurrence."""
+        if not len(self.table):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        col = self.table[:, 0]
+        lo = int(np.searchsorted(col, np.uint64(h), "left"))
+        hi = int(np.searchsorted(col, np.uint64(h), "right"))
+        sl = self.table[lo:hi]
+        return (sl[:, 1].astype(np.int64), sl[:, 2].astype(np.int64),
+                sl[:, 3].astype(np.int64))
+
+
+class RegionAnchorCounts:
+    """Occurrence counts of every k-anchor in the region reference (both
+    strands): the growth stop condition. A terminal anchor occurring
+    exactly once in the region means the contig end has exited the
+    repeat context into unique flank — growing further adds no
+    representation power and, past the alt-read pool, risks crossing
+    onto the other haplotype's phase (the measured chimera mode)."""
+
+    def __init__(self, region_codes: np.ndarray, k: int):
+        codes = np.asarray(region_codes, dtype=np.int8).reshape(1, -1)
+        n = np.array([codes.shape[1]], dtype=np.int64)
+        hf, vf = _anchor_hashes(codes, n, k)
+        rc = revcomp_codes(codes[0]).reshape(1, -1)
+        hr, vr = _anchor_hashes(rc, n, k)
+        allh = np.concatenate([hf[vf], hr[vr]])
+        self.sorted = np.sort(allh)
+
+    def count(self, h: int) -> int:
+        u = np.uint64(h)
+        return int(np.searchsorted(self.sorted, u, "right")
+                   - np.searchsorted(self.sorted, u, "left"))
+
+
+def _grow_right(codes: np.ndarray, index: ReadAnchorIndex,
+                min_votes: int, min_frac: float, max_grow: int,
+                region: Optional[RegionAnchorCounts] = None,
+                unique_buffer: int = 60,
+                max_rounds: int = 48) -> np.ndarray:
+    k = index.k
+    grown = 0
+    # bases still to grow after unique flank was reached (-1 = not yet)
+    past_unique = -1
+    # terminal-anchor history: inside a long PURE tandem array every
+    # slipped placement verifies and the consensus walks the repeat
+    # torus forever (measured: end position oscillating over an 8 bp
+    # window while the contig grew 34 bp/round to the cap, minting a
+    # chimeric unit count). A recurring terminal anchor IS the torus;
+    # truncate back to where the cycle was entered and stop — a 100 bp
+    # read cannot count units of an array it cannot span, so growth
+    # past that point only fabricates sequence.
+    seen_anchors = {}
+    for _ in range(max_rounds):
+        if len(codes) < k or grown >= max_grow:
+            break
+        if past_unique == 0:
+            break
+        tail = codes[-k:]
+        if (tail >= 4).any():
+            break
+        h_tail = _hash_one(tail)
+        entry_len = seen_anchors.setdefault(h_tail, len(codes))
+        if entry_len != len(codes):
+            codes = codes[:entry_len]
+            break
+        if region is not None and past_unique < 0:
+            c = region.count(h_tail)
+            if c == 1:
+                past_unique = unique_buffer
+        strands, rows, poss = index.lookup(_hash_one(tail))
+        if len(rows) == 0:
+            break
+        # ONE vote per read, at its best-verified placement: inside a
+        # tandem array one read can carry the anchor at several
+        # phase-shifted positions (slippage), and counting each as a
+        # vote lets the OTHER haplotype's phase build a chimeric
+        # consensus (measured: a 37 bp del came back as a spurious
+        # tandem_dup). OLC semantics instead: a read's placement must
+        # agree with the contig over its FULL overlap (<= 1 mismatch
+        # per 50 bp, sequencing-error allowance); among verified
+        # placements keep the longest overlap (ties -> smaller pos:
+        # deterministic), one continuation per read.
+        best_by_read = {}
+        for s, r, p in zip(strands, rows, poss):
+            o = min(int(p), len(codes) - k)  # verifiable pre-anchor bases
+            if o > 0:
+                a = index.oriented[s, r, p - o:p]
+                b = codes[len(codes) - k - o:len(codes) - k]
+                mm = int(np.sum(a != b))
+                if mm > max(1, o // 50):
+                    continue
+            key = int(r)
+            cur = best_by_read.get(key)
+            cand = (o, -int(p), int(s))
+            if cur is None or cand > cur[0]:
+                n = int(index.lengths[r])
+                ext = index.oriented[s, r, p + k:n]
+                best_by_read[key] = (cand, ext)
+        exts = [ext for _, ext in best_by_read.values() if len(ext)]
+        if not exts:
+            break
+        width = min(max(len(e) for e in exts), max_grow - grown)
+        mat = np.full((len(exts), width), 4, dtype=np.int8)
+        for i, e in enumerate(exts):
+            mat[i, :min(len(e), width)] = e[:width]
+        # per-column votes over A/C/G/T (pad 4 = no vote)
+        votes = np.stack([(mat == b).sum(0) for b in range(4)])  # [4, W]
+        top = votes.argmax(0)            # ties -> smaller code (argmax)
+        support = votes.max(0)
+        total = votes.sum(0)
+        ok = (support >= min_votes) & (support >= min_frac * np.maximum(
+            total, 1))
+        n_acc = int(np.argmin(ok)) if not ok.all() else len(ok)
+        if past_unique > 0:
+            n_acc = min(n_acc, past_unique)
+        if n_acc == 0:
+            break
+        codes = np.concatenate([codes, top[:n_acc].astype(np.int8)])
+        grown += n_acc
+        if past_unique > 0:
+            past_unique -= n_acc
+    return codes
+
+
+def extend_contig_codes(codes: np.ndarray, index: ReadAnchorIndex,
+                        min_votes: int = 2, min_frac: float = 0.7,
+                        max_grow: int = 400,
+                        region: Optional[RegionAnchorCounts] = None,
+                        ) -> Tuple[np.ndarray, int, int]:
+    """(extended_codes, grow_left, grow_right)."""
+    n0 = len(codes)
+    codes = _grow_right(codes, index, min_votes, min_frac, max_grow,
+                        region=region)
+    gr = len(codes) - n0
+    # left growth = right growth of the reverse complement (anchor
+    # uniqueness is strand-symmetric: RegionAnchorCounts indexes both
+    # strands, so the same counter serves the flipped orientation)
+    rc = revcomp_codes(codes)
+    n1 = len(rc)
+    rc = _grow_right(rc, index, min_votes, min_frac, max_grow,
+                     region=region)
+    gl = len(rc) - n1
+    return revcomp_codes(rc), gl, gr
+
+
+def extend_contigs(contigs: List[Contig], all_reads: Optional[ReadBatch],
+                   anchor_k: int = 31, min_votes: int = 2,
+                   min_frac: float = 0.7, max_grow: int = 400,
+                   region_codes: Optional[np.ndarray] = None,
+                   ) -> List[Contig]:
+    """Extend every contig through the full region read set; read
+    offsets are re-based by the left growth so split-read support
+    (count_split_reads) keeps counting only the ORIGINAL assembly
+    placements — extension never manufactures support."""
+    if all_reads is None or not len(all_reads) or not contigs:
+        return contigs
+    index = ReadAnchorIndex(all_reads, anchor_k)
+    region = (RegionAnchorCounts(region_codes, anchor_k)
+              if region_codes is not None else None)
+    out: List[Contig] = []
+    for c in contigs:
+        codes = encode_seq(c.seq)
+        ext, gl, gr = extend_contig_codes(
+            codes, index, min_votes=min_votes, min_frac=min_frac,
+            max_grow=max_grow, region=region)
+        if gl == 0 and gr == 0:
+            out.append(c)
+            continue
+        reads = [dataclasses.replace(r, offset=r.offset + gl)
+                 for r in c.reads]
+        out.append(Contig(id=c.id, seq=decode_seq(ext), reads=reads,
+                          kmers=c.kmers))
+    return out

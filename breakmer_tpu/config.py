@@ -82,6 +82,18 @@ class Config:
                                    # consolidation) — one junction split
                                    # across two contigs becomes one call
     olc_min_overlap: int = 20      # min suffix/prefix overlap to fuse
+    contig_extension: bool = True  # extend contigs through ALL region
+                                   # reads (clean-mapped included) by
+                                   # exact-anchor consensus voting: inside
+                                   # tandem arrays the SV reads alone end
+                                   # before unique flank and the call is
+                                   # absorbed (assemble/extend.py; r5
+                                   # TANDEM_FLOOR oracle: 32/45 tandem
+                                   # misses were exactly this). Beyond
+                                   # reference behavior — off restores
+                                   # sv-read-only assembly
+    extension_anchor_k: int = 31   # terminal anchor length (<= 31)
+    extension_max_grow: int = 400  # growth cap per contig side, bp
 
     # --- realignment (replaces BLAT; align/ package) ----------------------
     seed_kmer_size: int = 11       # BLAT DNA default tile size is 11

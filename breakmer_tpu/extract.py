@@ -133,6 +133,51 @@ def extract_sv_reads(
     )
 
 
+def _region_row_idx(cols: dict, rid: int, start: int, end: int) -> np.ndarray:
+    """File-order indices of records overlapping [start, end) on refid
+    ``rid``. Per-refid (file-order indices sorted by pos, sorted pos, max
+    extent) built once and cached on the cols dict: per-region
+    full-column overlap masks were O(regions x records) and dominated
+    extraction at panel scale. A record at sorted pos p can only overlap
+    [start, end) if start - max_extent <= p < end, so the searchsorted
+    window plus an exact test on the few candidates reproduces the full
+    scan."""
+    flag = cols["flag"]
+    pos = cols["pos"]
+    span = cols["ref_span"]
+    refid = cols["refid"]
+    bins = cols.get("_region_bins")
+    if bins is None:
+        unmapped_all = (flag & 0x4) != 0
+        eff_end = np.where(unmapped_all, pos + 1, pos + span)
+        bins = {}
+        for r in np.unique(refid):
+            if r < 0:
+                continue
+            ridx = np.nonzero(refid == r)[0]
+            order = ridx[np.argsort(pos[ridx], kind="stable")]
+            psort = pos[order]
+            ext = int((eff_end[order] - psort).max()) if len(order) else 0
+            bins[int(r)] = (order, psort, ext)
+        cols["_region_bins"] = bins
+    entry = bins.get(rid)
+    if entry is None:
+        return np.zeros(0, dtype=np.int64)
+    order, psort, ext = entry
+    lo_i = int(np.searchsorted(psort, start - ext, "left"))
+    hi_i = int(np.searchsorted(psort, end, "left"))
+    cand = order[lo_i:hi_i]
+    um_c = (flag[cand] & 0x4) != 0
+    p_c = pos[cand]
+    sp_c = span[cand]
+    hit = np.where(
+        um_c,
+        (p_c >= start) & (p_c < end),
+        (p_c < end) & (p_c + sp_c > start),
+    )
+    return np.sort(cand[hit])  # restore file order (the full scan's order)
+
+
 def extract_sv_reads_columnar(
     cols: dict,
     ref_names: List[str],
@@ -165,42 +210,7 @@ def extract_sv_reads_columnar(
     pos = cols["pos"]
     span = cols["ref_span"]
     refid = cols["refid"]
-    # per-refid (file-order indices sorted by pos, sorted pos, max extent)
-    # built once and cached on the cols dict: the per-region full-column
-    # overlap masks were O(regions x records) and dominated this function
-    # at panel scale. A record at sorted pos p can only overlap [start,end)
-    # if start - max_extent <= p < end, so the searchsorted window plus an
-    # exact test on the few candidates reproduces the full scan.
-    bins = cols.get("_region_bins")
-    if bins is None:
-        unmapped_all = (flag & 0x4) != 0
-        eff_end = np.where(unmapped_all, pos + 1, pos + span)
-        bins = {}
-        for r in np.unique(refid):
-            if r < 0:
-                continue
-            ridx = np.nonzero(refid == r)[0]
-            order = ridx[np.argsort(pos[ridx], kind="stable")]
-            psort = pos[order]
-            ext = int((eff_end[order] - psort).max()) if len(order) else 0
-            bins[int(r)] = (order, psort, ext)
-        cols["_region_bins"] = bins
-    entry = bins.get(rid)
-    if entry is None:
-        return empty
-    order, psort, ext = entry
-    lo_i = int(np.searchsorted(psort, start - ext, "left"))
-    hi_i = int(np.searchsorted(psort, end, "left"))
-    cand = order[lo_i:hi_i]
-    um_c = (flag[cand] & 0x4) != 0
-    p_c = pos[cand]
-    sp_c = span[cand]
-    hit = np.where(
-        um_c,
-        (p_c >= start) & (p_c < end),
-        (p_c < end) & (p_c + sp_c > start),
-    )
-    idx = np.sort(cand[hit])  # restore file order (the full scan's order)
+    idx = _region_row_idx(cols, rid, start, end)
     if len(idx) == 0:
         return empty
     f = flag[idx]
@@ -318,6 +328,57 @@ def extract_sv_reads_columnar(
     return ExtractResult(
         batch=batch, disc=disc, coverage=cov, region_chrom=chrom,
         region_start=start, n_records=int(len(idx)), n_sv_reads=len(rows),
+    )
+
+
+def extract_all_reads(
+    records: Iterable[SamRecord],
+    region: Tuple[str, int, int],
+) -> ReadBatch:
+    """EVERY primary region read (clean-mapped included) as a ReadBatch —
+    the contig-extension read pool (assemble/extend.py): inside repeat
+    arrays the informative flanking molecules align cleanly and are
+    correctly absent from extract_sv_reads' batch. Secondary /
+    supplementary / duplicate records and seq-less rows are skipped;
+    otherwise no filtering (extension's consensus vote is the filter)."""
+    seqs: List[str] = []
+    for rec in records:
+        if rec.is_secondary or rec.is_supplementary or rec.is_dup:
+            continue
+        if not rec.seq or rec.seq == "*":
+            continue
+        seqs.append(rec.seq)
+    return ReadBatch.from_seqs(seqs)
+
+
+def extract_all_reads_columnar(
+    cols: dict,
+    ref_names: List[str],
+    region: Tuple[str, int, int],
+) -> ReadBatch:
+    """Columnar twin of :func:`extract_all_reads` (native decode path);
+    byte-identical codes/lengths content on identical region streams
+    (tests/test_extract.py)."""
+    chrom, start, end = region
+    rid = ref_names.index(chrom) if chrom in ref_names else -1
+    if cols["n"] == 0 or rid < 0:
+        return ReadBatch.from_seqs([])
+    idx = _region_row_idx(cols, rid, start, end)
+    if len(idx) == 0:
+        return ReadBatch.from_seqs([])
+    f = cols["flag"][idx]
+    lseq = cols["lseq"][idx]
+    keep = ((f & (0x100 | 0x800 | 0x400)) == 0) & (lseq > 0)
+    sel = idx[keep]
+    if not len(sel):
+        return ReadBatch.from_seqs([])
+    lens = cols["lseq"][sel].astype(np.int32)
+    lmax = int(lens.max())
+    return ReadBatch(
+        codes=np.ascontiguousarray(cols["seq_codes"][sel, :lmax]),
+        lengths=lens,
+        names=[f"r{int(i)}" for i in sel],
+        quals=np.ascontiguousarray(cols["quals"][sel, :lmax]),
     )
 
 

@@ -122,6 +122,12 @@ class TargetPipeline:
         # run-level discordant-pair map (cfg.global_disc_support): set by
         # the runner; replaces the region-local map at classify time
         self.disc_override = None
+        # lazy provider of EVERY primary region read (ReadBatch) for the
+        # contig-extension pass (assemble/extend.py): set by the runner;
+        # fetched only when contigs were assembled and cfg.contig_extension
+        # is on, and dropped right after — the all-reads batch is never
+        # held across regions (bounded-ingest memory envelope)
+        self.all_reads_provider = None
 
     # -- phase 1: find_sv_reads (reference: target.find_sv_reads) ----------
     def extract_and_clean(
@@ -248,6 +254,20 @@ class TargetPipeline:
 
                 self.contigs = merge_contig_objects(
                     self.contigs, min_len=cfg.olc_min_overlap
+                )
+            if (cfg.contig_extension and self.contigs
+                    and self.all_reads_provider is not None):
+                # repeat-aware extension through ALL region reads: a
+                # contig ending inside a tandem array gains the unique
+                # flank that forces the absorbed indel representation
+                # back out (assemble/extend.py; r5 TANDEM_FLOOR oracle)
+                from breakmer_tpu.assemble.extend import extend_contigs
+
+                self.contigs = extend_contigs(
+                    self.contigs, self.all_reads_provider(),
+                    anchor_k=cfg.extension_anchor_k,
+                    max_grow=cfg.extension_max_grow,
+                    region_codes=self.region_ref.codes,
                 )
         return self.contigs
 

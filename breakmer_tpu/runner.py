@@ -368,6 +368,37 @@ class Runner:
         cand.sort()  # restore file order (the scan's iteration order)
         return [self._sample_records[i] for i in cand]
 
+    def _all_reads_provider(self, target: TargetRegion):
+        """Zero-arg closure yielding EVERY primary region read (the
+        contig-extension pool, assemble/extend.py). Lazy: the batch is
+        built only when the region actually assembled contigs, and the
+        pipeline drops it immediately after — never held across regions.
+        Thread-safe from nprocs workers: the columnar path reads the
+        shared read-only columns; the record path takes the same lock
+        extraction does around the indexed-reader seek."""
+        cfg = self.cfg
+
+        def provide():
+            from breakmer_tpu.extract import (
+                extract_all_reads,
+                extract_all_reads_columnar,
+            )
+
+            chrom, start, end = target.span(cfg.region_buffer)
+            if self._ensure_native_cols():
+                cols, ref_names = self._native_cols
+                return extract_all_reads_columnar(
+                    cols, ref_names, (chrom, start, end))
+            lock = getattr(self, "_records_lock", None)
+            if lock is not None and not self._preload_effective():
+                with lock:
+                    records = list(self._region_records(chrom, start, end))
+            else:
+                records = self._region_records(chrom, start, end)
+            return extract_all_reads(records, (chrom, start, end))
+
+        return provide
+
     def _prewarm_extraction(self, first_target: TargetRegion) -> None:
         """Build every lazily-initialized shared structure the extraction
         workers read (native columns, preloaded records + interval bins)
@@ -585,6 +616,7 @@ class Runner:
             )
             pipe.global_coverage_at = self._global_coverage_at
             pipe.user_filter = self.user_filter
+            pipe.all_reads_provider = self._all_reads_provider(target)
             if cfg.global_disc_support:
                 pipe.disc_override = self._global_disc_pairs()
             ext = self._columnar_extract(target)
@@ -704,6 +736,7 @@ class Runner:
             )
             pipe.global_coverage_at = self._global_coverage_at
             pipe.user_filter = self.user_filter
+            pipe.all_reads_provider = self._all_reads_provider(target)
             if cfg.global_disc_support:
                 pipe.disc_override = self._global_disc_pairs()
             pipes[name] = pipe

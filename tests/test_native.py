@@ -155,6 +155,17 @@ def test_columnar_extraction_matches_record_path(tmp_path):
     assert len(g_rec) > 0
     assert g_col.pairs == g_rec.pairs
 
+    # contig-extension read pool: the all-reads columnar twin must match
+    # the record path content-exactly (same rows, same codes/lengths)
+    from breakmer_tpu.extract import extract_all_reads, extract_all_reads_columnar
+
+    a_rec = extract_all_reads(read_bam(path, region=region), region)
+    a_col = extract_all_reads_columnar(
+        cols, [n for n, _ in reader.refs], region)
+    assert len(a_col) == len(a_rec) > 0
+    for i in range(len(a_rec)):
+        assert a_col.seq(i) == a_rec.seq(i)
+
 
 def _sam_text(refs, records) -> bytes:
     """Minimal SAM writer (fixtures.SamBuilder is genome-coupled)."""

@@ -121,6 +121,37 @@ def test_extreme_svs_recovered(tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_tandem_absorbed_del_recovered_by_extension(tmp_path):
+    """r5 contig extension (assemble/extend.py): seed 5's multi-SV gene
+    plants a deletion inside a tandem array whose sv-read contig ends
+    before unique flank — SW absorbs the del into repeat units and the
+    call vanished in r4 (TANDEM_FLOOR_r05 'recoverable' class). The
+    extension pass grows the contig through clean-mapped region reads to
+    the unique flank and the call comes back; with the knob off the old
+    miss reproduces (causality pinned)."""
+    from tests.fixtures import GenomeModel
+
+    for ext_on, want_pass in ((True, True), (False, False)):
+        work = tmp_path / ("on" if ext_on else "off")
+        work.mkdir()
+        cfg_kwargs, checks = build_scenario(
+            5, work, n_genes=4, with_normal_germline=True,
+            multi_sv_gene=True, genome_model=GenomeModel(),
+        )
+        cfg_kwargs["contig_extension"] = ext_on
+        runner = Runner(Config(**cfg_kwargs))
+        runner.setup()
+        events = runner.run()
+        kind, check = checks["G0"]
+        evs = [e for e in events if e.genes.split(",")[0] == "G0"]
+        fails = check(evs)
+        if want_pass:
+            assert not fails, "\n".join(fails)
+        else:
+            assert fails, "extension-off run unexpectedly recovered the " \
+                "absorbed del — fixture drifted, re-pin a failing seed"
+
+
 def test_low_vaf_svs_recovered(tmp_path):
     """VAF 0.25 at ~33x total junction depth: alt-haplotype reads diluted
     3:1 by reference reads over the same window; all four planted SVs

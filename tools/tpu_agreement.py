@@ -13,9 +13,15 @@ Covers every pad-tier shape the pipeline launches, both substitution
 paths (generic and no_n), mid-sequence N handling, masked-requery-style
 inputs (mid-sequence pad 4s), planted high-identity hits on both ends,
 and empty/all-pad rows. Exits non-zero on any mismatch.
+
+``--out AGREEMENT_r05.json`` commits the per-case pass/fail record so
+the bit-exactness invariant is evidenced per round, not on-faith
+(VERDICT r4 missing #4 / next #7).
 """
 
+import json
 import sys
+import time
 
 import numpy as np
 
@@ -26,6 +32,13 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    record = {"artifact": "real-TPU bit-agreement: ops.sw_pallas vs the "
+                          "ops.sw scan oracle (scores + argmax cells)",
+              "backend": None, "device": None, "cases": []}
+    t0 = time.time()
     from breakmer_tpu.ops.sw import SWParams, sw_score
     from breakmer_tpu.ops.sw_pallas import sw_score_pallas
 
