@@ -46,6 +46,8 @@ def main():
         f"this is the HARDWARE agreement check; backend is "
         f"{jax.default_backend()} (run without JAX_PLATFORMS overrides)"
     )
+    record["backend"] = jax.default_backend()
+    record["device"] = str(jax.devices()[0])
     rng = np.random.default_rng(20260818)
     params = SWParams()
     shapes = [(8, 128, 256), (48, 128, 512), (64, 256, 512),
@@ -62,6 +64,7 @@ def main():
         q[4, Lq // 2 :] = 4                       # trailing pad
         q[5] = 4                                  # all-pad row
         no_n_ok = not ((q[: B // 2] >= 4).any() or (t[: B // 2] >= 4).any())
+        fail0 = failures
         cases = [("generic", q, t, False)]
         qn = np.where(q >= 4, 0, q)[: max(8, B // 2)]
         tn = np.where(t >= 4, 0, t)[: max(8, B // 2)]
@@ -78,6 +81,10 @@ def main():
                     print(f"MISMATCH {name} B{B} {Lq}x{Lt} {label} "
                           f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
                     failures += 1
+        record["cases"].append({
+            "case": f"{B}x({Lq}x{Lt})", "paths": ["generic", "no_n"],
+            "checks": ["score", "q_end", "t_end"],
+            "pass": failures == fail0})
         print(f"ok {B}x({Lq}x{Lt}) generic+no_n")
     # target-chunked long-DP path (SURVEY §2b blockwise/tiled DP):
     # forced small chunks (C=4 over a 512 target, boundary-straddling
@@ -91,6 +98,7 @@ def main():
         (16, 256, 1024, 256, "forced C=4 wide"),
         (8, 512, 8192, None, "auto long"),
     ]:
+        fail0 = failures
         q = rng.integers(0, 4, (B, Lq), dtype=np.int8)
         t = rng.integers(0, 4, (B, Lt), dtype=np.int8)
         # hits straddling chunk boundaries + boundary N runs + ties
@@ -111,7 +119,19 @@ def main():
                 print(f"MISMATCH chunked[{tag}] B{B} {Lq}x{Lt} {label} "
                       f"row {bad}: oracle {a[bad]} pallas {b[bad]}")
                 failures += 1
+        record["cases"].append({
+            "case": f"chunked[{tag}] {B}x({Lq}x{Lt})",
+            "paths": ["target_chunked"],
+            "checks": ["score", "q_end", "t_end"],
+            "pass": failures == fail0})
         print(f"ok chunked[{tag}] {B}x({Lq}x{Lt})")
+    record["mismatches"] = failures
+    record["agreement"] = failures == 0
+    record["wall_s"] = round(time.time() - t0, 1)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=2)
+            fh.write("\n")
     if failures:
         print(f"FAILED: {failures} mismatches")
         return 1
