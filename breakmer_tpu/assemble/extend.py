@@ -80,10 +80,18 @@ class ReadAnchorIndex:
         codes = np.asarray(batch.codes, dtype=np.int8)
         lengths = np.asarray(batch.lengths, dtype=np.int64)
         R, L = codes.shape
-        rc = np.full_like(codes, 4)
-        for r in range(R):
-            n = int(lengths[r])
-            rc[r, :n] = revcomp_codes(codes[r, :n])
+        # vectorized per-row revcomp onto left-aligned true lengths (the
+        # per-read loop was ~0.2 s at deep-coverage region sizes)
+        if R:
+            comp = np.where(codes < 4, 3 - codes, codes)
+            src = lengths[:, None] - 1 - np.arange(L)[None, :]
+            rc = np.where(
+                src >= 0,
+                np.take_along_axis(comp, np.clip(src, 0, L - 1), axis=1),
+                4,
+            ).astype(np.int8)
+        else:
+            rc = np.full_like(codes, 4)
         self.oriented = np.stack([codes, rc]) if R else np.zeros(
             (2, 0, 0), dtype=np.int8)  # [strand, R, L]
         self.lengths = lengths
@@ -143,22 +151,35 @@ def _grow_right(codes: np.ndarray, index: ReadAnchorIndex,
                 min_votes: int, min_frac: float, max_grow: int,
                 region: Optional[RegionAnchorCounts] = None,
                 unique_buffer: int = 60,
-                max_rounds: int = 48) -> np.ndarray:
+                max_rounds: int = 64) -> np.ndarray:
+    """Chained-OLC growth: each read is PLACED once, at its best
+    fully-verified offset against the consensus, and contributes its
+    content exactly once. Two earlier designs failed measurably:
+
+    * per-round re-anchoring let the same reads re-enter at slipped
+      positions forever inside a pure tandem array — the consensus
+      walked the repeat torus to the cap, fabricating a chimeric unit
+      count (a 37 bp del came back as a spurious tandem_dup);
+    * a terminal-anchor cycle detector stopped the torus but
+      over-triggered: ANY pure 31-mer recurrence (two adjacent clean
+      units) truncated legitimate growth mid-array, stranding the
+      contig before unique flank.
+
+    With placements fixed at recruitment, re-entry is impossible (no
+    torus), growth is bounded by real read extents, and a recurring
+    anchor inside the array is fine — the placed reads' pending content
+    keeps advancing. Recruitment verifies the read's FULL overlap with
+    the consensus (<= 1 mismatch per 50 bp, sequencing-error
+    allowance); the verified-overlap requirement is the haplotype-phase
+    filter, and per-column majority (min_votes / min_frac) arbitrates
+    what the placed population disagrees on."""
     k = index.k
-    grown = 0
+    n0 = len(codes)
     # bases still to grow after unique flank was reached (-1 = not yet)
     past_unique = -1
-    # terminal-anchor history: inside a long PURE tandem array every
-    # slipped placement verifies and the consensus walks the repeat
-    # torus forever (measured: end position oscillating over an 8 bp
-    # window while the contig grew 34 bp/round to the cap, minting a
-    # chimeric unit count). A recurring terminal anchor IS the torus;
-    # truncate back to where the cycle was entered and stop — a 100 bp
-    # read cannot count units of an array it cannot span, so growth
-    # past that point only fabricates sequence.
-    seen_anchors = {}
+    placements = {}  # row -> (strand, offset of read base 0 in codes)
     for _ in range(max_rounds):
-        if len(codes) < k or grown >= max_grow:
+        if len(codes) < k or len(codes) - n0 >= max_grow:
             break
         if past_unique == 0:
             break
@@ -166,47 +187,48 @@ def _grow_right(codes: np.ndarray, index: ReadAnchorIndex,
         if (tail >= 4).any():
             break
         h_tail = _hash_one(tail)
-        entry_len = seen_anchors.setdefault(h_tail, len(codes))
-        if entry_len != len(codes):
-            codes = codes[:entry_len]
-            break
         if region is not None and past_unique < 0:
-            c = region.count(h_tail)
-            if c == 1:
+            if region.count(h_tail) == 1:
                 past_unique = unique_buffer
-        strands, rows, poss = index.lookup(_hash_one(tail))
-        if len(rows) == 0:
-            break
-        # ONE vote per read, at its best-verified placement: inside a
-        # tandem array one read can carry the anchor at several
-        # phase-shifted positions (slippage), and counting each as a
-        # vote lets the OTHER haplotype's phase build a chimeric
-        # consensus (measured: a 37 bp del came back as a spurious
-        # tandem_dup). OLC semantics instead: a read's placement must
-        # agree with the contig over its FULL overlap (<= 1 mismatch
-        # per 50 bp, sequencing-error allowance); among verified
-        # placements keep the longest overlap (ties -> smaller pos:
-        # deterministic), one continuation per read.
-        best_by_read = {}
+        # ---- recruit new reads whose anchor matches the terminal tail
+        strands, rows, poss = index.lookup(h_tail)
+        anchor_off = len(codes) - k
+        best_new = {}
         for s, r, p in zip(strands, rows, poss):
-            o = min(int(p), len(codes) - k)  # verifiable pre-anchor bases
-            if o > 0:
-                a = index.oriented[s, r, p - o:p]
-                b = codes[len(codes) - k - o:len(codes) - k]
-                mm = int(np.sum(a != b))
-                if mm > max(1, o // 50):
-                    continue
-            key = int(r)
-            cur = best_by_read.get(key)
-            cand = (o, -int(p), int(s))
-            if cur is None or cand > cur[0]:
-                n = int(index.lengths[r])
-                ext = index.oriented[s, r, p + k:n]
-                best_by_read[key] = (cand, ext)
-        exts = [ext for _, ext in best_by_read.values() if len(ext)]
+            ri = int(r)
+            if ri in placements:
+                continue
+            off = anchor_off - int(p)
+            n = int(index.lengths[r])
+            lo = max(0, off)
+            hi = min(len(codes), off + n)
+            ov = hi - lo
+            if ov <= 0 or off + n <= len(codes):
+                continue  # nothing pending beyond the frontier
+            a = index.oriented[s, r, lo - off:hi - off]
+            b = codes[lo:hi]
+            mm = int(np.sum(a != b))
+            if mm > max(1, ov // 50):
+                continue
+            # best placement per read: longest verified overlap, then
+            # the LEAST-slipped offset (largest p <=> smallest pending
+            # tail), then strand — deterministic
+            cand = (ov, -off, int(s))
+            cur = best_new.get(ri)
+            if cur is None or cand > cur:
+                best_new[ri] = cand
+        for ri, (ov, noff, s) in best_new.items():
+            placements[ri] = (s, -noff)
+        # ---- vote the next columns from ALL placed pending content
+        exts = []
+        for ri, (s, off) in placements.items():
+            n = int(index.lengths[ri])
+            if off + n > len(codes):
+                exts.append(index.oriented[s, ri, len(codes) - off:n])
         if not exts:
             break
-        width = min(max(len(e) for e in exts), max_grow - grown)
+        width = min(max(len(e) for e in exts),
+                    max_grow - (len(codes) - n0))
         mat = np.full((len(exts), width), 4, dtype=np.int8)
         for i, e in enumerate(exts):
             mat[i, :min(len(e), width)] = e[:width]
@@ -223,7 +245,6 @@ def _grow_right(codes: np.ndarray, index: ReadAnchorIndex,
         if n_acc == 0:
             break
         codes = np.concatenate([codes, top[:n_acc].astype(np.int8)])
-        grown += n_acc
         if past_unique > 0:
             past_unique -= n_acc
     return codes
