@@ -95,33 +95,27 @@ class ReadAnchorIndex:
         self.oriented = np.stack([codes, rc]) if R else np.zeros(
             (2, 0, 0), dtype=np.int8)  # [strand, R, L]
         self.lengths = lengths
+        # [strand, R, W] hash matrices kept UNsorted: a flattened
+        # hash-sorted table cost ~150 MB + ~1 s lexsort at deep-coverage
+        # region sizes, while extension performs only ~10^2 lookups per
+        # region — a vectorized equality scan (~ms over the matrices) is
+        # cheaper in both time and memory, and its row-major nonzero
+        # order (strand, row, pos ascending) is the pinned deterministic
+        # hit order.
         hf, vf = _anchor_hashes(codes, lengths, k)
         hr, vr = _anchor_hashes(rc, lengths, k)
-        ent = []
-        for s, (h, v) in enumerate(((hf, vf), (hr, vr))):
-            rr, pp = np.nonzero(v)
-            ent.append(np.stack([h[rr, pp].astype(np.uint64),
-                                 np.full(len(rr), s, dtype=np.uint64),
-                                 rr.astype(np.uint64),
-                                 pp.astype(np.uint64)], axis=1))
-        table = (np.concatenate(ent) if ent and sum(map(len, ent))
-                 else np.zeros((0, 4), dtype=np.uint64))
-        # deterministic order: hash, then strand/row/pos
-        order = np.lexsort((table[:, 3], table[:, 2], table[:, 1],
-                            table[:, 0])) if len(table) else []
-        self.table = table[order] if len(table) else table
+        self._h = np.stack([hf, hr]) if R and hf.size else np.zeros(
+            (2, R, 0), dtype=np.uint64)
+        self._v = np.stack([vf, vr]) if R and hf.size else np.zeros(
+            (2, R, 0), dtype=bool)
 
     def lookup(self, h: int):
         """(strand, row, pos) arrays of every exact anchor occurrence."""
-        if not len(self.table):
+        if not self._h.size:
             z = np.zeros(0, dtype=np.int64)
             return z, z, z
-        col = self.table[:, 0]
-        lo = int(np.searchsorted(col, np.uint64(h), "left"))
-        hi = int(np.searchsorted(col, np.uint64(h), "right"))
-        sl = self.table[lo:hi]
-        return (sl[:, 1].astype(np.int64), sl[:, 2].astype(np.int64),
-                sl[:, 3].astype(np.int64))
+        s, r, p = np.nonzero((self._h == np.uint64(h)) & self._v)
+        return s.astype(np.int64), r.astype(np.int64), p.astype(np.int64)
 
 
 class RegionAnchorCounts:

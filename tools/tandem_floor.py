@@ -149,6 +149,7 @@ def main() -> int:
             runner = Runner(Config(**cfg_kwargs))
             runner.setup()
             events = runner.run()
+            rmask = runner.rmask
             for gene, (kind, check) in checks.items():
                 if kind == "germline":
                     continue
@@ -161,9 +162,24 @@ def main() -> int:
                     meta.get("junction_mask_dist", {}).get(gene, []))
                 outcome, detail = run_oracle(runner, gene, check)
                 outcomes[ctx][outcome] += 1
+                # the enclosing repeat feature's span: a tandem array
+                # longer than the read length is a READ-level floor —
+                # no 100 bp molecule can count its units (r5: every
+                # proven-floor tandem case sat in a 201-298 bp array)
+                feat_lens = []
+                if rmask is not None:
+                    for c, p in getattr(check, "junctions", []):
+                        starts = rmask._starts.get(c)
+                        if starts is None:
+                            continue
+                        ends = rmask._ends[c]
+                        for s, e in zip(starts.tolist(), ends.tolist()):
+                            if s - 25 <= p < e + 25:
+                                feat_lens.append(e - s)
                 misses.append({
                     "seed": seed, "gene": gene, "kind": kind,
                     "context": ctx, "outcome": outcome,
+                    "junction_feature_span": max(feat_lens, default=None),
                     "pipeline_failure": fails[0][:200], **detail,
                 })
         finally:
