@@ -120,8 +120,8 @@ def main() -> int:
     if args.out is None:
         # a custom error-rate axis must not clobber the full-grid
         # committed artifact either
-        base = ("ENVELOPE_TUNED_r04" if args.profile == "tuned"
-                else "ENVELOPE_r04")
+        base = ("ENVELOPE_TUNED_r05" if args.profile == "tuned"
+                else "ENVELOPE_r05")
         if args.sub_rates and args.profile != "tuned":
             base += "_CUSTOM"
         args.out = str(REPO / (base + ".json"))
