@@ -265,22 +265,66 @@ def extend_contig_codes(codes: np.ndarray, index: ReadAnchorIndex,
     return revcomp_codes(rc), gl, gr
 
 
-def extend_contigs(contigs: List[Contig], all_reads: Optional[ReadBatch],
+_NEED_PROBE = 40  # end-window width probed for repetitive context
+
+
+def _needs_extension(codes: np.ndarray, region: RegionAnchorCounts,
+                     k: int) -> bool:
+    """A contig only risks the absorbed representation when an END sits
+    in repetitive context. Probe every anchor starting in the last
+    ``_NEED_PROBE`` positions of each end: any region-non-unique anchor
+    means repetitive flank -> extend. A single terminal-anchor probe
+    was measurably too narrow (an impurity-carrying 31-mer inside a
+    tandem array can be exact-unique while the surrounding context
+    still absorbs the indel — seed-5 regression). This gate makes
+    extension ~free on non-repetitive panels (no all-reads fetch, no
+    anchor index) while firing where the tandem sweeps need it."""
+    n = len(codes)
+    if n < k:
+        return False
+    for j in range(min(_NEED_PROBE, n - k + 1)):
+        for probe in (codes[n - k - j:n - j], codes[j:j + k]):
+            if len(probe) < k or (probe >= 4).any():
+                continue
+            if region.count(_hash_one(probe)) != 1:
+                return True
+    return False
+
+
+def extend_contigs(contigs: List[Contig], all_reads=None,
                    anchor_k: int = 31, min_votes: int = 2,
                    min_frac: float = 0.7, max_grow: int = 400,
                    region_codes: Optional[np.ndarray] = None,
                    ) -> List[Contig]:
-    """Extend every contig through the full region read set; read
-    offsets are re-based by the left growth so split-read support
+    """Extend contigs through the full region read set; read offsets
+    are re-based by the left growth so split-read support
     (count_split_reads) keeps counting only the ORIGINAL assembly
-    placements — extension never manufactures support."""
-    if all_reads is None or not len(all_reads) or not contigs:
+    placements — extension never manufactures support.
+
+    ``all_reads``: a ReadBatch, or a zero-arg callable returning one —
+    with ``region_codes`` given, the callable is invoked only when some
+    contig actually ends in repetitive context (_needs_extension)."""
+    if all_reads is None or not contigs:
         return contigs
-    index = ReadAnchorIndex(all_reads, anchor_k)
     region = (RegionAnchorCounts(region_codes, anchor_k)
               if region_codes is not None else None)
+    if region is not None:
+        needy = [_needs_extension(encode_seq(c.seq), region, anchor_k)
+                 for c in contigs]
+        if not any(needy):
+            return contigs
+    else:
+        needy = [True] * len(contigs)
+    if callable(all_reads):
+        all_reads = all_reads()
+    if all_reads is None or not len(all_reads):
+        return contigs
+    index = ReadAnchorIndex(all_reads, anchor_k)
     out: List[Contig] = []
-    for c in contigs:
+    for c, need in zip(contigs, needy):
+        if not need:
+            out.append(c)
+            continue
         codes = encode_seq(c.seq)
         ext, gl, gr = extend_contig_codes(
             codes, index, min_votes=min_votes, min_frac=min_frac,

@@ -264,7 +264,7 @@ class TargetPipeline:
                 from breakmer_tpu.assemble.extend import extend_contigs
 
                 self.contigs = extend_contigs(
-                    self.contigs, self.all_reads_provider(),
+                    self.contigs, self.all_reads_provider,
                     anchor_k=cfg.extension_anchor_k,
                     max_grow=cfg.extension_max_grow,
                     region_codes=self.region_ref.codes,
