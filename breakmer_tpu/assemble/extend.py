@@ -265,30 +265,28 @@ def extend_contig_codes(codes: np.ndarray, index: ReadAnchorIndex,
     return revcomp_codes(rc), gl, gr
 
 
-_NEED_PROBE = 40  # end-window width probed for repetitive context
-
-
 def _needs_extension(codes: np.ndarray, region: RegionAnchorCounts,
                      k: int) -> bool:
-    """A contig only risks the absorbed representation when an END sits
-    in repetitive context. Probe every anchor starting in the last
-    ``_NEED_PROBE`` positions of each end: any region-non-unique anchor
-    means repetitive flank -> extend. A single terminal-anchor probe
-    was measurably too narrow (an impurity-carrying 31-mer inside a
-    tandem array can be exact-unique while the surrounding context
-    still absorbs the indel — seed-5 regression). This gate makes
-    extension ~free on non-repetitive panels (no all-reads fetch, no
-    anchor index) while firing where the tandem sweeps need it."""
+    """A contig only risks the absorbed representation when it touches
+    repetitive context: fire when ANY of its anchors is region-non-
+    unique. Narrower probes were both measurably wrong — the single
+    terminal anchor (impurity 31-mers inside arrays are exact-unique;
+    seed-5 regression) and a 40-position end window (two sweep seeds
+    had their repeat context starting 54/66 bp inside the contig).
+    Probing every anchor is a vectorized hash + searchsorted over
+    ~n positions (sub-ms); the savings target is the all-reads fetch +
+    anchor index on non-repetitive regions, not this probe."""
     n = len(codes)
     if n < k:
         return False
-    for j in range(min(_NEED_PROBE, n - k + 1)):
-        for probe in (codes[n - k - j:n - j], codes[j:j + k]):
-            if len(probe) < k or (probe >= 4).any():
-                continue
-            if region.count(_hash_one(probe)) != 1:
-                return True
-    return False
+    h, v = _anchor_hashes(codes.reshape(1, -1),
+                          np.array([n], dtype=np.int64), k)
+    hs = h[v]
+    if not len(hs):
+        return False
+    lo = np.searchsorted(region.sorted, hs, "left")
+    hi = np.searchsorted(region.sorted, hs, "right")
+    return bool(((hi - lo) != 1).any())
 
 
 def extend_contigs(contigs: List[Contig], all_reads=None,
