@@ -127,18 +127,40 @@ class RegionAnchorCounts:
     onto the other haplotype's phase (the measured chimera mode)."""
 
     def __init__(self, region_codes: np.ndarray, k: int):
-        codes = np.asarray(region_codes, dtype=np.int8).reshape(1, -1)
+        self._codes = np.asarray(region_codes, dtype=np.int8)
+        self._k = k
+        self._sorted = None
+        self._probe = None
+
+    def _table(self, k: int) -> np.ndarray:
+        codes = self._codes.reshape(1, -1)
         n = np.array([codes.shape[1]], dtype=np.int64)
+        rc = revcomp_codes(self._codes).reshape(1, -1)
         hf, vf = _anchor_hashes(codes, n, k)
-        rc = revcomp_codes(codes[0]).reshape(1, -1)
         hr, vr = _anchor_hashes(rc, n, k)
-        allh = np.concatenate([hf[vf], hr[vr]])
-        self.sorted = np.sort(allh)
+        return np.sort(np.concatenate([hf[vf], hr[vr]]))
+
+    @property
+    def sorted(self) -> np.ndarray:
+        # lazy: only regions whose gate probe FIRED ever pay the
+        # k=31 table build (the always-paid work is probe_sorted; both
+        # tables per region measured ~40% warm 100-gene panel overhead
+        # when built eagerly)
+        if self._sorted is None:
+            self._sorted = self._table(self._k)
+        return self._sorted
+
+    @property
+    def probe_sorted(self) -> np.ndarray:
+        if self._probe is None:
+            self._probe = self._table(_PROBE_K)
+        return self._probe
 
     def count(self, h: int) -> int:
         u = np.uint64(h)
-        return int(np.searchsorted(self.sorted, u, "right")
-                   - np.searchsorted(self.sorted, u, "left"))
+        table = self.sorted
+        return int(np.searchsorted(table, u, "right")
+                   - np.searchsorted(table, u, "left"))
 
 
 def _grow_right(codes: np.ndarray, index: ReadAnchorIndex,
@@ -265,28 +287,44 @@ def extend_contig_codes(codes: np.ndarray, index: ReadAnchorIndex,
     return revcomp_codes(rc), gl, gr
 
 
+_PROBE_K = 15  # gate probe word; see _needs_extension
+
+
 def _needs_extension(codes: np.ndarray, region: RegionAnchorCounts,
                      k: int) -> bool:
     """A contig only risks the absorbed representation when it touches
-    repetitive context: fire when ANY of its anchors is region-non-
-    unique. Narrower probes were both measurably wrong — the single
-    terminal anchor (impurity 31-mers inside arrays are exact-unique;
-    seed-5 regression) and a 40-position end window (two sweep seeds
-    had their repeat context starting 54/66 bp inside the contig).
-    Probing every anchor is a vectorized hash + searchsorted over
-    ~n positions (sub-ms); the savings target is the all-reads fetch +
+    repetitive context: fire when ANY probe word is region-MULTI-mapped
+    (count > 1). Three narrower designs were each measurably wrong:
+
+    * a single terminal 31-anchor (impurity 31-mers inside arrays are
+      exact-unique; seed-5 regression);
+    * a 40-position end window (repeat context starting 54/66 bp inside
+      the contig on two sweep seeds);
+    * count != 1 as the trigger — a novel INSERTION's words are absent
+      from the reference (count 0), and firing on absence made every
+      insertion contig on unique-genome panels pay a pointless
+      extension (2.4x warm 100-gene panel cost);
+    * the full extension anchor length (31) as the probe word — a
+      2%-impure array can have EVERY 31-mer exact-unique while SW still
+      absorbs (mismatch-tolerant); at 15 bp the array's purity between
+      impurities shows as count > 1 while a random region stays
+      collision-free (4^15 >> region size) and insert content stays
+      count 0.
+
+    The probe runs over every contig position (vectorized hash +
+    searchsorted, sub-ms); the savings target is the all-reads fetch +
     anchor index on non-repetitive regions, not this probe."""
     n = len(codes)
-    if n < k:
+    if n < _PROBE_K:
         return False
     h, v = _anchor_hashes(codes.reshape(1, -1),
-                          np.array([n], dtype=np.int64), k)
+                          np.array([n], dtype=np.int64), _PROBE_K)
     hs = h[v]
     if not len(hs):
         return False
-    lo = np.searchsorted(region.sorted, hs, "left")
-    hi = np.searchsorted(region.sorted, hs, "right")
-    return bool(((hi - lo) != 1).any())
+    lo = np.searchsorted(region.probe_sorted, hs, "left")
+    hi = np.searchsorted(region.probe_sorted, hs, "right")
+    return bool(((hi - lo) > 1).any())
 
 
 def extend_contigs(contigs: List[Contig], all_reads=None,
