@@ -12,16 +12,20 @@ this: the same pipeline called them correctly when handed the wider alt
 haplotype. The missing bases are IN the sample — carried by the
 clean-mapped reads the extractor (correctly) skipped.
 
-This pass extends each assembled contig outward through those reads:
-an exact terminal-anchor lookup (k=31, injective 2-bit hash — no
-collisions possible) gathers every region read (both strands) that
-overlaps the contig end, and a per-column majority vote (min support 2,
->= 70% agreement) appends their consensus continuation; repeat until
-the vote degrades, reads run out, or the growth cap. Votes are counts,
-so the result is order-independent; ties pick the smaller base code
-(pinned). The anchor-ambiguity failure mode (an anchor shorter than one
-repeat unit matches several phase-shifted positions of one read) shows
-up as mixed votes and stops the growth — the guard IS the detector.
+This pass extends each assembled contig outward through those reads by
+chained OLC: an exact terminal-anchor lookup (k=31, injective 2-bit
+hash — no collisions possible) RECRUITS region reads (both strands)
+whose full overlap with the consensus verifies, each read is placed
+exactly once at its best-verified offset, and a per-column majority
+vote (min support 2, >= 70% agreement) over all placed reads' pending
+content appends the consensus continuation — until the vote degrades,
+pending content runs out, unique flank is passed, or the growth cap.
+Votes are counts, so the result is order-independent; ties pick the
+smaller base code (pinned). The once-only placement rule is
+load-bearing: per-round re-anchoring let slipped placements walk the
+repeat torus (see _grow_right). Extension fires only for contigs that
+touch repetitive context (_needs_extension), so non-repetitive panels
+pay ~nothing.
 
 The reference pipeline (BreaKmer, sv_assembly.py [recon]) has no
 equivalent; it assembles sv-read fastqs only and inherits the absorbed
